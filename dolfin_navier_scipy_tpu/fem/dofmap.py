@@ -1,0 +1,121 @@
+"""Taylor-Hood (P2/P1) dof maps and boundary-dof classification.
+
+This is the host-side "geometry compiler": from a :class:`TriMesh` it
+produces static index arrays that drive all device kernels.  It replaces
+dolfin's FunctionSpace/DirichletBC machinery used in the reference
+(problem_setups.py:818-825 builds CG2/CG1 spaces; :850-923 extracts
+Dirichlet dofs via ``DirichletBC.get_boundary_values()``).
+
+Velocity dof numbering: ``vdof = 2 * p2node + component`` (interleaved).
+Pressure dofs are the P1 vertex indices.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict
+
+import numpy as np
+
+from .reference import LOCAL_EDGES
+
+
+@dataclass
+class TaylorHoodSpace:
+    """P2 velocity / P1 pressure function spaces on a triangle mesh."""
+
+    mesh: "object"
+    # filled by __post_init__:
+    p2_dofmap: np.ndarray = field(init=False)   # (nc, 6) P2 node ids
+    p1_dofmap: np.ndarray = field(init=False)   # (nc, 3) = mesh.cells
+    p2_coords: np.ndarray = field(init=False)   # (n_p2, 2)
+    n_p2: int = field(init=False)
+    edge_to_node: dict = field(init=False)
+
+    def __post_init__(self):
+        mesh = self.mesh
+        cells = mesh.cells
+        nc, nv = mesh.num_cells, mesh.num_verts
+
+        # unique edges -> midpoint nodes
+        all_edges = np.concatenate(
+            [np.sort(cells[:, LOCAL_EDGES[k]], axis=1) for k in range(3)],
+            axis=0,
+        )
+        uniq, inv = np.unique(all_edges, axis=0, return_inverse=True)
+        n_edges = len(uniq)
+        self.n_p2 = nv + n_edges
+        edge_nodes = nv + inv.reshape(3, nc).T  # (nc, 3)
+
+        self.p2_dofmap = np.concatenate([cells, edge_nodes], axis=1)
+        self.p1_dofmap = cells
+        mids = 0.5 * (mesh.verts[uniq[:, 0]] + mesh.verts[uniq[:, 1]])
+        self.p2_coords = np.concatenate([mesh.verts, mids], axis=0)
+        self.edge_to_node = {tuple(e): nv + i for i, e in enumerate(uniq.tolist())}
+
+    # -- sizes --------------------------------------------------------------
+    @property
+    def nv_full(self) -> int:
+        """Number of velocity dofs (2 components per P2 node)."""
+        return 2 * self.n_p2
+
+    @property
+    def np_full(self) -> int:
+        """Number of pressure dofs."""
+        return self.mesh.num_verts
+
+    # -- velocity dof helpers -------------------------------------------------
+    def vdofs_of_cells(self) -> np.ndarray:
+        """Velocity dof map per cell: ``(nc, 6, 2)`` with interleaved dofs."""
+        nodes = self.p2_dofmap  # (nc, 6)
+        return np.stack([2 * nodes, 2 * nodes + 1], axis=2)
+
+    def boundary_nodes(self, tag: int) -> np.ndarray:
+        """P2 nodes (vertices + edge midpoints) on facets tagged ``tag``."""
+        mesh = self.mesh
+        cells_, locs = mesh.tagged_facets(tag)
+        nodes = set()
+        for c, le in zip(cells_, locs):
+            a, b = mesh.cells[c, LOCAL_EDGES[le]]
+            nodes.add(int(a))
+            nodes.add(int(b))
+            key = (min(a, b), max(a, b))
+            nodes.add(self.edge_to_node[key])
+        return np.array(sorted(nodes), dtype=np.int64)
+
+    def dirichlet_dofs(self, tag: int, value_fn) -> Dict[int, float]:
+        """Dirichlet dofs+values on a tagged boundary.
+
+        ``value_fn(x) -> (2,)`` is evaluated at the P2 node coordinates
+        (matching dolfin's CG2 interpolation of boundary expressions).
+        Returns {vdof: value}.
+        """
+        out = {}
+        for node in self.boundary_nodes(tag):
+            val = np.asarray(value_fn(self.p2_coords[node]))
+            out[2 * node] = float(val[0])
+            out[2 * node + 1] = float(val[1])
+        return out
+
+    # -- evaluation (host) -----------------------------------------------------
+    def eval_pressure(self, p: np.ndarray, points) -> np.ndarray:
+        """Point-evaluate a P1 pressure field (e.g. the DFG Delta-p)."""
+        cells_, bary = self.mesh.locate(np.atleast_2d(points))
+        if np.any(cells_ < 0):
+            raise ValueError("point outside mesh")
+        vals = (np.asarray(p)[self.p1_dofmap[cells_]] * bary).sum(axis=1)
+        return vals
+
+    def eval_velocity(self, v: np.ndarray, points) -> np.ndarray:
+        """Point-evaluate a P2 velocity field; ``v`` is interleaved (nv_full,)."""
+        from .reference import shape_p2
+
+        pts = np.atleast_2d(points)
+        cells_, bary = self.mesh.locate(pts)
+        if np.any(cells_ < 0):
+            raise ValueError("point outside mesh")
+        ref = np.stack([bary[:, 1], bary[:, 2]], axis=1)
+        out = np.zeros((len(pts), 2))
+        v2 = np.asarray(v).reshape(-1, 2)
+        for i, (c, rp) in enumerate(zip(cells_, ref)):
+            N = shape_p2(rp[None, :])[0]  # (6,)
+            out[i] = N @ v2[self.p2_dofmap[c]]
+        return out

@@ -1,0 +1,112 @@
+"""Output functionals: lift/drag/torque via the residual trick, pressure
+drop, and observation operators.
+
+The reference evaluates drag/lift with the Babuska-Miller residual trick
+(problem_setups.py:1107-1197 ``LiftDragSurfForce``; also
+residual_checks.py:42-56): test the momentum residual with an indicator
+function that is 1 on the body surface.  With our own full-dof operators
+this collapses to *summing the discrete momentum residual over the body
+dofs* — no extra assembly:
+
+    R(v, p) = A_full v + N(v)v - JT_full p - fv_full
+    drag = sum_{x-dofs on body} R,   lift = sum_{y-dofs on body} R
+
+(A_full already carries the symmetrized-gradient outflow correction,
+dolfin_to_sparrays.py:246-248.)  ``p`` is the physical pressure.
+"""
+
+import numpy as np
+
+
+class LiftDragSurfForce:
+    """Drag/lift/torque evaluator bound to one problem.
+
+    Matches the reference class of the same name
+    (problem_setups.py:1107).  ``cdclfac = 2/(rho L Um^2)`` converts the
+    forces to the DFG coefficients.
+    """
+
+    def __init__(self, prob, rho=1.0, charvel=None):
+        self.prob = prob
+        if prob.ldsbcinds is None:
+            raise ValueError("problem has no lift/drag surface")
+        lds = np.asarray(prob.ldsbcinds)
+        self.xdofs = lds[lds % 2 == 0]
+        self.ydofs = lds[lds % 2 == 1]
+        self.rho = rho
+
+    def momentum_residual(self, v_full, p):
+        """Full-dof steady momentum residual (numpy, host)."""
+        prob = self.prob
+        v_full = np.asarray(v_full).ravel()
+        p = np.asarray(p).ravel()
+        conv = np.asarray(prob.conv_kernel.vector(v_full)).ravel()
+        JTfull = prob.full["JT"]
+        return (
+            prob.full["A"] @ v_full
+            + conv
+            - JTfull @ p
+        )
+
+    def evaliftdragforce(self, v_full, p):
+        """Returns ``(lift, drag)`` forces (reference ordering,
+        problem_setups.py:1134)."""
+        res = self.momentum_residual(v_full, p) * self.rho
+        drag = res[self.xdofs].sum()
+        lift = res[self.ydofs].sum()
+        return lift, drag
+
+    def coefficients(self, v_full, p, charvel, charlen):
+        """DFG coefficients ``(Cl, Cd)``."""
+        lift, drag = self.evaliftdragforce(v_full, p)
+        fac = 2.0 / (self.rho * charlen * charvel ** 2)
+        return fac * lift, fac * drag
+
+    def evatorque(self, v_full, p, center, radius=None):
+        """Torque about ``center`` via the residual trick with the
+        rotational test field ``phi = e_z x (x - c)`` on the body
+        (problem_setups.py:1183-1197)."""
+        res = self.momentum_residual(v_full, p) * self.rho
+        coords = self.prob.space.p2_coords
+        nodes_x = self.xdofs // 2
+        arm = coords[nodes_x] - np.asarray(center)
+        # phi_x = -(y - cy), phi_y = (x - cx)
+        tq = (-arm[:, 1] * res[self.xdofs]).sum() \
+            + (arm[:, 0] * res[self.ydofs]).sum()
+        return tq
+
+
+def pressure_drop(prob, p, a1=(0.15, 0.2), a2=(0.25, 0.2)):
+    """``p(a1) - p(a2)`` — the DFG pressure-drop functional
+    (steadystate_schaefer-turek_2D-1.py:104-106)."""
+    p = np.asarray(p).ravel()
+    if prob.geo.ppin is not None:
+        p = np.concatenate([p, [0.0]])
+    vals = prob.space.eval_pressure(p, np.array([a1, a2]))
+    return float(vals[0] - vals[1])
+
+
+def observation_operator(prob, odcoo=None, ny=8):
+    """Velocity observation ``y = C v`` over an observation box.
+
+    A light-weight analogue of the reference's optional
+    ``distributed_control_fenics.cont_obs_utils`` dependency
+    (tests/time_dep_nse_bigchannel.py:30-33): averages each velocity
+    component over ``ny`` horizontal strips of the observation domain.
+    Returns a dense ``(2*ny, nv_full)`` matrix.
+    """
+    odcoo = odcoo or prob.geo.odcoo
+    if odcoo is None:
+        raise ValueError("no observation domain configured")
+    coords = prob.space.p2_coords
+    inx = (coords[:, 0] >= odcoo["xmin"]) & (coords[:, 0] <= odcoo["xmax"])
+    C = np.zeros((2 * ny, prob.nv_full))
+    yedges = np.linspace(odcoo["ymin"], odcoo["ymax"], ny + 1)
+    for k in range(ny):
+        sel = inx & (coords[:, 1] >= yedges[k]) & (coords[:, 1] < yedges[k + 1])
+        nodes = np.flatnonzero(sel)
+        if len(nodes) == 0:
+            continue
+        C[2 * k, 2 * nodes] = 1.0 / len(nodes)
+        C[2 * k + 1, 2 * nodes + 1] = 1.0 / len(nodes)
+    return C

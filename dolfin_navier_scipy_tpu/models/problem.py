@@ -1,0 +1,208 @@
+"""The compiled NSE problem: operators + index sets + device kernels.
+
+``build_problem`` is the one-stop constructor playing the role of the
+reference's ``get_sysmats`` (problem_setups.py:34-220): assemble the
+Stokes family, resolve Dirichlet BCs by condensation, optionally pin the
+pressure, and bundle everything with the device convection kernels.
+"""
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import scipy.sparse as sps
+
+import jax.numpy as jnp
+
+from ..fem.dofmap import TaylorHoodSpace
+from ..ops.assemble import AssemblyContext, assemble_stokes, assemble_rhs
+from ..ops.condense import condense_sysmats, unroll_dbcs
+from ..ops.convection import ConvectionKernel
+from ..ops.sparse import ell_from_scipy_fast
+
+
+@dataclass
+class GeoSetup:
+    """Declarative boundary/geometry description (the JSON-descriptor
+    schema of tests/mesh/*_geo_cntrlbc.json, problem_setups.py:829-962)."""
+
+    charlen: float = 1.0
+    inflow_tag: Optional[int] = None
+    inflow_fn: Optional[Callable] = None      # x -> (2,)
+    wall_tags: List[int] = field(default_factory=list)
+    outflow_tag: Optional[int] = None
+    moving_wall_tags: List[int] = field(default_factory=list)
+    moving_wall_fns: Dict[int, Callable] = field(default_factory=dict)
+    liftdrag_tag: Optional[int] = None
+    control_tags: List[int] = field(default_factory=list)
+    control_shapefuns: List[Callable] = field(default_factory=list)
+    odcoo: Optional[dict] = None
+    ppin: Optional[int] = None                # pressure pinning (-1 or None)
+
+
+@dataclass
+class NSEProblem:
+    """Everything needed to simulate one flow configuration."""
+
+    space: TaylorHoodSpace
+    ctx: AssemblyContext
+    geo: GeoSetup
+    nu: float
+    Re: float
+
+    # full-dof scipy operators
+    full: Dict[str, sps.spmatrix] = field(default_factory=dict)
+    # condensed scipy operators
+    Mc: sps.spmatrix = None
+    Ac: sps.spmatrix = None
+    Jc: sps.spmatrix = None
+    JTc: sps.spmatrix = None
+    MP: sps.spmatrix = None
+    fv: np.ndarray = None            # condensed+merged rhs (nin,1)
+    fp: np.ndarray = None            # (np_cond,1)
+    invinds: np.ndarray = None
+    bcinds: np.ndarray = None
+    bcvals: np.ndarray = None
+    ldsbcinds: Optional[np.ndarray] = None   # lift/drag surface vdofs
+    Arob: Optional[sps.spmatrix] = None
+    Brob: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self._conv_kernel = None
+        self._mc_ell = None
+        self._steady_kernel = None
+
+    # -- sizes ---------------------------------------------------------------
+    @property
+    def nv_full(self):
+        return self.space.nv_full
+
+    @property
+    def np_cond(self):
+        return self.Jc.shape[0]
+
+    # -- lazy device objects ---------------------------------------------------
+    @property
+    def conv_kernel(self) -> ConvectionKernel:
+        if self._conv_kernel is None:
+            self._conv_kernel = ConvectionKernel(self.ctx)
+        return self._conv_kernel
+
+    @property
+    def Mc_ell(self):
+        if self._mc_ell is None:
+            self._mc_ell = ell_from_scipy_fast(self.Mc)
+        return self._mc_ell
+
+    def steady_kernel(self):
+        from ..solve.steady import SteadySolverKernel
+
+        if self._steady_kernel is None:
+            self._steady_kernel = SteadySolverKernel(self)
+        return self._steady_kernel
+
+    # -- helpers ----------------------------------------------------------------
+    def bc_full_vec(self) -> np.ndarray:
+        """Full-size vector with boundary values set, zero at inner dofs."""
+        out = np.zeros(self.nv_full)
+        out[self.bcinds] = self.bcvals
+        return out
+
+    def embed(self, v_inner):
+        """Inner vector -> full vector with boundary values appended."""
+        full = jnp.asarray(self.bc_full_vec())
+        return full.at[jnp.asarray(self.invinds)].set(
+            jnp.asarray(v_inner).ravel()
+        )
+
+
+def build_problem(
+    mesh,
+    geo: GeoSetup,
+    nu: float = None,
+    Re: float = None,
+    charvel: float = 1.0,
+    gradvsymmtrc: bool = True,
+    bccontrol: bool = False,
+    scheme: str = "TH",
+) -> NSEProblem:
+    """Compile a mesh + geometry description into an :class:`NSEProblem`."""
+    if scheme != "TH":
+        raise NotImplementedError("only Taylor-Hood implemented so far")
+    space = TaylorHoodSpace(mesh)
+    ctx = AssemblyContext(space)
+
+    if Re is not None:
+        nu = charvel * geo.charlen / Re
+    else:
+        Re = charvel * geo.charlen / nu
+
+    mats = assemble_stokes(
+        ctx,
+        nu=nu,
+        gradvsymmtrc=gradvsymmtrc,
+        outflow_tag=geo.outflow_tag,
+        control_tags=geo.control_tags if bccontrol else None,
+        control_shapefuns=geo.control_shapefuns if bccontrol else None,
+    )
+
+    # ---- Dirichlet data ------------------------------------------------------
+    bcdict = {}
+    for tag in geo.wall_tags:
+        bcdict.update(space.dirichlet_dofs(tag, lambda x: (0.0, 0.0)))
+    for tag in geo.moving_wall_tags:
+        fn = geo.moving_wall_fns.get(tag, lambda x: (0.0, 0.0))
+        bcdict.update(space.dirichlet_dofs(tag, fn))
+    if not bccontrol:
+        for tag in geo.control_tags:
+            bcdict.update(space.dirichlet_dofs(tag, lambda x: (0.0, 0.0)))
+    if geo.inflow_tag is not None:
+        bcdict.update(space.dirichlet_dofs(geo.inflow_tag, geo.inflow_fn))
+    dbcinds = np.array(sorted(bcdict), dtype=np.int64)
+    dbcvals = np.array([bcdict[i] for i in dbcinds])
+
+    # ---- rhs + pressure pinning ----------------------------------------------
+    fv_full, fp_full = assemble_rhs(ctx)    # zero body force by default
+    if geo.ppin is not None:
+        if geo.ppin != -1:
+            raise NotImplementedError("can only pin p at the last dof")
+        mats["J"] = sps.csr_matrix(mats["J"])[:-1, :]
+        mats["JT"] = sps.csr_matrix(mats["JT"])[:, :-1]
+        fp_full = fp_full[:-1]
+
+    matsc, rhsbc, invinds, bcinds, bcvals = condense_sysmats(
+        mats, [dbcinds], [dbcvals]
+    )
+
+    prob = NSEProblem(
+        space=space,
+        ctx=ctx,
+        geo=geo,
+        nu=nu,
+        Re=Re,
+        full=mats,
+        Mc=matsc["M"],
+        Ac=matsc["A"],
+        Jc=matsc["J"],
+        JTc=matsc["JT"],
+        MP=matsc["MP"],
+        fv=fv_full[invinds] + rhsbc["fv"],
+        fp=fp_full + rhsbc["fp"],
+        invinds=invinds,
+        bcinds=bcinds,
+        bcvals=bcvals,
+    )
+    if geo.liftdrag_tag is not None:
+        nodes = space.boundary_nodes(geo.liftdrag_tag)
+        prob.ldsbcinds = np.concatenate([2 * nodes, 2 * nodes + 1])
+    if bccontrol and "amatrob" in mats:
+        from ..ops.condense import condense_velmat
+
+        Arob, fvrob = condense_velmat(
+            mats["amatrob"], dbcinds=[dbcinds], dbcvals=[dbcvals]
+        )
+        if np.linalg.norm(fvrob) > 1e-15:
+            raise UserWarning("dirichlet and control bcs must not intersect")
+        prob.Arob = Arob
+        prob.Brob = mats["bmatrob"][invinds, :]
+    return prob

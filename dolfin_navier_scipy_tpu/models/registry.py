@@ -1,0 +1,66 @@
+"""``get_sysmats`` facade — API parity with the reference's problem
+registry (problem_setups.py:34-220).
+
+Returns ``(femp, stokesmatsc, rhsd)`` dictionaries with the reference's
+key names so that driver scripts written against the reference port
+mechanically; the compiled :class:`NSEProblem` rides along under
+``femp['problem']``.
+"""
+
+import numpy as np
+
+from .cylinderwake import cylinderwake_problem
+from .drivencavity import drivencavity_problem
+
+
+def get_sysmats(problem="gen_bccont", scheme="TH", ppin=None, Re=None,
+                nu=None, charvel=1.0, gradvsymmtrc=True, bccontrol=False,
+                mergerhs=True, meshparams=None, **kw):
+    meshparams = dict(meshparams or {})
+    if problem == "drivencavity":
+        prob = drivencavity_problem(
+            N=meshparams.get("N", 10), nu=nu, Re=Re, scheme=scheme,
+            gradvsymmtrc=gradvsymmtrc,
+        )
+    elif problem in ("cylinderwake", "gen_bccont", "cylinder_rot"):
+        prob = cylinderwake_problem(
+            level=meshparams.get("level", 1),
+            mesh=meshparams.get("mesh"),
+            geodata=meshparams.get("geodata"),
+            nu=nu, Re=Re, charvel=charvel, scheme=scheme,
+            gradvsymmtrc=gradvsymmtrc,
+            bccontrol=bccontrol,
+            movingwallcntrl=(problem == "cylinder_rot"),
+        )
+    else:
+        raise KeyError(f"unknown problem class {problem}")
+
+    femp = dict(
+        problem=prob,
+        invinds=prob.invinds,
+        dbcinds=[prob.bcinds],
+        dbcvals=[prob.bcvals],
+        nu=prob.nu,
+        Re=prob.Re,
+        charlen=prob.geo.charlen,
+        ppin=prob.geo.ppin,
+        odcoo=prob.geo.odcoo,
+        ldsbcinds=prob.ldsbcinds,
+        V=prob.space,
+        Q=None,
+        mesh=prob.space.mesh,
+    )
+    stokesmatsc = dict(
+        M=prob.Mc, A=prob.Ac, J=prob.Jc, JT=prob.JTc, MP=prob.MP,
+        Jfull=prob.full["J"],
+    )
+    if prob.Arob is not None:
+        stokesmatsc.update(Arob=prob.Arob, Brob=prob.Brob)
+    rhsd = dict(fv=np.asarray(prob.fv).reshape(-1, 1),
+                fp=np.asarray(prob.fp).reshape(-1, 1))
+    if not mergerhs:
+        raise NotImplementedError(
+            "split rhs bookkeeping is merged by construction here; "
+            "use mergerhs=True"
+        )
+    return femp, stokesmatsc, rhsd

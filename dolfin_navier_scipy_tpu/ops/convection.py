@@ -1,0 +1,132 @@
+"""Convection operators: the per-step hot path.
+
+The reference re-assembles the convection terms through FEniCS at *every*
+linearization point / time step (dolfin_to_sparrays.py:325-472, crossing
+the Python<->C++ boundary each time; identified as the dominant per-step
+cost in SURVEY.md section 3.3).  Here the same operators are computed
+on device with static-shape JAX kernels:
+
+* ``convection_vector``:  ``c[(a,i)] = int ((u2 . grad) u1)_i phi_a dx``
+  matching ``dts.get_convvec(uone=u1, utwo=u2)`` (UFL ``grad(u1)*u2``),
+* ``convection_matrices``: ``N1(u0) ~ (u0 . grad) u`` and
+  ``N2(u0) ~ (u . grad) u0``  (dolfin_to_sparrays.py:325-376).
+
+Host (numpy) twins are provided as correctness oracles for the tests
+(the reference's scipy-vs-weak-form double bookkeeping, SURVEY.md section 4).
+"""
+
+import numpy as np
+import scipy.sparse as sps
+
+import jax
+import jax.numpy as jnp
+
+from .assemble import AssemblyContext
+
+
+# ---------------------------------------------------------------------------
+# host reference implementations (oracles)
+# ---------------------------------------------------------------------------
+
+def _u_at_quad(ctx: AssemblyContext, u_full: np.ndarray):
+    """values and gradients of a velocity field at the quad points."""
+    space = ctx.space
+    ue = u_full.reshape(-1, 2)[space.p2_dofmap]          # (nc,6,2)
+    uq = np.einsum("qa,eac->eqc", ctx.N2, ue)            # (nc,Q,2)
+    guq = np.einsum("eqad,eac->eqcd", ctx.gphi2, ue)     # (nc,Q,2,2) dU_c/dx_d
+    return ue, uq, guq
+
+
+def convection_vector_host(ctx, u1_full, u2_full=None):
+    """``int ((u2.grad)u1) . phi dx`` over the full dof set; numpy oracle."""
+    space = ctx.space
+    if u2_full is None:
+        u2_full = u1_full
+    _, u1q, gu1q = _u_at_quad(ctx, np.asarray(u1_full))
+    _, u2q, _ = _u_at_quad(ctx, np.asarray(u2_full))
+    conv = np.einsum("eqd,eqcd->eqc", u2q, gu1q)
+    fe = np.einsum("eq,qa,eqc->eac", ctx.wdet, ctx.N2, conv)
+    out = np.zeros(space.nv_full)
+    np.add.at(out, space.vdofs_of_cells().ravel(), fe.ravel())
+    return out.reshape(-1, 1)
+
+
+def convection_matrices_host(ctx, u0_full):
+    """N1, N2 (scipy CSR over full dofs) and ``fv = N(u0)u0``; numpy oracle."""
+    space = ctx.space
+    _, u0q, gu0q = _u_at_quad(ctx, np.asarray(u0_full))
+
+    # N1[(a,i),(b,j)] = delta_ij int (u0 . grad phi_b) phi_a
+    u0gradb = np.einsum("eqd,eqbd->eqb", u0q, ctx.gphi2)
+    n1e = np.einsum("eq,qa,eqb->eab", ctx.wdet, ctx.N2, u0gradb)
+    nc = n1e.shape[0]
+    N1vec = np.zeros((nc, 6, 2, 6, 2))
+    N1vec[:, :, 0, :, 0] = n1e
+    N1vec[:, :, 1, :, 1] = n1e
+
+    # N2[(a,i),(b,j)] = int phi_b dU0_i/dx_j phi_a
+    N2vec = np.einsum("eq,qa,qb,eqij->eaibj", ctx.wdet, ctx.N2, ctx.N2, gu0q)
+
+    from .assemble import _vec_coo
+
+    fv = convection_vector_host(ctx, u0_full)
+    return _vec_coo(space, N1vec), _vec_coo(space, N2vec), fv
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+class ConvectionKernel:
+    """Static-shape device kernels bound to one FEM space.
+
+    Holds the (device-resident) element tables; all methods are jittable
+    and safe inside ``lax.scan`` bodies.
+    """
+
+    def __init__(self, ctx: AssemblyContext, dtype=None):
+        space = ctx.space
+        dtype = dtype or jnp.float64
+        self.nv_full = space.nv_full
+        self.Nq = jnp.asarray(ctx.N2, dtype)            # (Q,6)
+        self.gphi = jnp.asarray(ctx.gphi2, dtype)       # (nc,Q,6,2)
+        self.wdet = jnp.asarray(ctx.wdet, dtype)        # (nc,Q)
+        self.nodes = jnp.asarray(ctx.space.p2_dofmap)   # (nc,6)
+        vd = ctx.space.vdofs_of_cells()                  # (nc,6,2)
+        self.vdofs_flat = jnp.asarray(vd.reshape(-1))
+
+    def _fields_at_quad(self, u_full):
+        ue = u_full.reshape(-1, 2)[self.nodes]                   # (nc,6,2)
+        uq = jnp.einsum("qa,eac->eqc", self.Nq, ue)
+        guq = jnp.einsum("eqad,eac->eqcd", self.gphi, ue)
+        return ue, uq, guq
+
+    def vector(self, u1_full, u2_full=None):
+        """Device ``N(u1)u2``-style vector: ``int ((u2.grad)u1).phi dx``."""
+        _, u1q, gu1q = self._fields_at_quad(u1_full)
+        if u2_full is None:
+            u2q = u1q
+        else:
+            _, u2q, _ = self._fields_at_quad(u2_full)
+        conv = jnp.einsum("eqd,eqcd->eqc", u2q, gu1q)
+        fe = jnp.einsum("eq,qa,eqc->eac", self.wdet, self.Nq, conv)
+        return jax.ops.segment_sum(
+            fe.reshape(-1), self.vdofs_flat, num_segments=self.nv_full
+        )
+
+    def element_matrices(self, u0_full, picard_only=False):
+        """Per-element linearized convection blocks ``(nc,6,2,6,2)``.
+
+        ``N1+N2`` by default (Newton), ``N1`` only for Picard
+        (stokes_navier_utils.py:114-118).
+        """
+        _, u0q, gu0q = self._fields_at_quad(u0_full)
+        u0gradb = jnp.einsum("eqd,eqbd->eqb", u0q, self.gphi)
+        n1e = jnp.einsum("eq,qa,eqb->eab", self.wdet, self.Nq, u0gradb)
+        eye = jnp.eye(2, dtype=n1e.dtype)
+        out = jnp.einsum("eab,ij->eaibj", n1e, eye)
+        if not picard_only:
+            out = out + jnp.einsum(
+                "eq,qa,qb,eqij->eaibj", self.wdet, self.Nq, self.Nq, gu0q
+            )
+        return out

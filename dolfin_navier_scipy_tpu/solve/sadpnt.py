@@ -1,0 +1,144 @@
+"""Saddle-point solvers: the replacement for the reference's external
+``sadptprj_riclyap_adi.lin_alg_utils`` ("lau") package.
+
+Solves
+
+    [[A, J^T], [J, 0]] [v; q] = [rhs_v; rhs_p]
+
+with optional low-rank update ``A -> A - umat @ vmat`` applied via
+Sherman-Morrison-Woodbury (matching ``lau.solve_sadpnt_smw``; the
+feedback hooks in stokes_navier_utils.py:1505-1512 rely on this).
+
+Backends
+--------
+* ``dense``  — on-device dense LU (``jax.scipy.linalg.lu_factor``); for the
+  reference's benchmark sizes (NV+NP ~ 3k-10k dofs) one factorization is
+  cheap and the per-step triangular solves ride the MXU.  The factorization
+  is reusable across time steps — the property that makes the reference's
+  CNAB loop fast (time_int_utils.py:89-91, one ``spsla.factorized`` reused).
+* ``host``  — scipy SuperLU twin, used as the correctness oracle and as the
+  performance baseline in ``bench.py``.
+
+Sign convention: the raw saddle solution ``q`` relates to the physical
+pressure as ``p = -q`` (the reference flips it too:
+stokes_navier_utils.py:403).  These low-level routines return the *raw*
+``[v; q]``; high-level solvers flip.
+"""
+
+from functools import partial
+
+import numpy as np
+import scipy.sparse as sps
+import scipy.sparse.linalg as spsla
+
+import jax
+import jax.numpy as jnp
+
+
+def _to_dense(mat):
+    if sps.issparse(mat):
+        return np.asarray(mat.todense())
+    return np.asarray(mat)
+
+
+class SaddleSolver:
+    """Reusable on-device factorization of one saddle matrix."""
+
+    def __init__(self, amat, jmat, jmatT=None, dtype=None):
+        dtype = dtype or jnp.float64
+        nv = amat.shape[0]
+        npp = jmat.shape[0]
+        jT = jmat.T if jmatT is None else jmatT
+        K = np.zeros((nv + npp, nv + npp))
+        K[:nv, :nv] = _to_dense(amat)
+        K[:nv, nv:] = _to_dense(jT)
+        K[nv:, :nv] = _to_dense(jmat)
+        self.nv, self.np = nv, npp
+        self.lu, self.piv = jax.scipy.linalg.lu_factor(jnp.asarray(K, dtype))
+
+    @partial(jax.jit, static_argnums=0)
+    def solve(self, rhsv, rhsp):
+        """Solve for stacked ``[v; q] (nv+np,)``; jit/scan-safe."""
+        rhs = jnp.concatenate([rhsv.reshape(-1), rhsp.reshape(-1)])
+        return jax.scipy.linalg.lu_solve((self.lu, self.piv), rhs)
+
+    @partial(jax.jit, static_argnums=0)
+    def solve_smw(self, rhsv, rhsp, umat, vmat):
+        """Solve with the rank-k update ``A -> A - umat @ vmat``.
+
+        SMW around the base factorization:
+        ``x = x0 + W (I - V W)^{-1} V x0`` with ``W = K^{-1} U_hat``.
+        """
+        x0 = self.solve(rhsv, rhsp)
+        k = umat.shape[1]
+        uhat = jnp.vstack([umat, jnp.zeros((self.np, k), dtype=umat.dtype)])
+        W = jax.scipy.linalg.lu_solve((self.lu, self.piv), uhat)
+        vhat = jnp.hstack([vmat, jnp.zeros((vmat.shape[0], self.np),
+                                           dtype=vmat.dtype)])
+        small = jnp.eye(k, dtype=umat.dtype) - vhat @ W
+        coef = jnp.linalg.solve(small, vhat @ x0)
+        return x0 + W @ coef
+
+
+def solve_sadpnt(amat=None, jmat=None, jmatT=None, rhsv=None, rhsp=None,
+                 umat=None, vmat=None, return_solver=False):
+    """Functional one-shot API mirroring ``lau.solve_sadpnt_smw``.
+
+    Returns the stacked raw solution ``(nv+np, 1)`` (numpy); with
+    ``return_solver=True`` also the reusable :class:`SaddleSolver`.
+    """
+    solver = SaddleSolver(amat, jmat, jmatT)
+    if rhsp is None:
+        rhsp = jnp.zeros((solver.np,))
+    if umat is not None:
+        out = solver.solve_smw(jnp.asarray(rhsv), jnp.asarray(rhsp),
+                               jnp.asarray(_to_dense(umat)),
+                               jnp.asarray(_to_dense(vmat)))
+    else:
+        out = solver.solve(jnp.asarray(rhsv), jnp.asarray(rhsp))
+    out = np.asarray(out).reshape(-1, 1)
+    if return_solver:
+        return out, solver
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host oracle / baseline
+# ---------------------------------------------------------------------------
+
+def host_saddle_factorized(amat, jmat, jmatT=None):
+    """scipy ``splu``-backed reusable solver (baseline twin of the
+    reference's ``spsla.factorized`` pattern, time_int_utils.py:89-91)."""
+    nv = amat.shape[0]
+    npp = jmat.shape[0]
+    jT = jmat.T if jmatT is None else jmatT
+    K = sps.vstack([
+        sps.hstack([sps.csc_matrix(amat), sps.csc_matrix(jT)]),
+        sps.hstack([sps.csc_matrix(jmat), sps.csc_matrix((npp, npp))]),
+    ]).tocsc()
+    lu = spsla.splu(K)
+
+    def solve(rhsv, rhsp=None):
+        if rhsp is None:
+            rhsp = np.zeros((npp,))
+        rhs = np.concatenate([np.asarray(rhsv).ravel(),
+                              np.asarray(rhsp).ravel()])
+        return lu.solve(rhs).reshape(-1, 1)
+
+    return solve
+
+
+def solve_sadpnt_host(amat=None, jmat=None, jmatT=None, rhsv=None, rhsp=None,
+                      umat=None, vmat=None):
+    """One-shot host solve; SMW handled by explicit dense correction."""
+    solve = host_saddle_factorized(amat, jmat, jmatT)
+    x0 = solve(rhsv, rhsp)
+    if umat is None:
+        return x0
+    nv, npp = amat.shape[0], jmat.shape[0]
+    k = umat.shape[1]
+    uh = np.vstack([_to_dense(umat), np.zeros((npp, k))])
+    W = np.hstack([solve(uh[: nv, i], uh[nv:, i]) for i in range(k)])
+    vh = np.hstack([_to_dense(vmat), np.zeros((vmat.shape[0], npp))])
+    coef = np.linalg.solve(np.eye(k) - vh @ W, vh @ x0)
+    return x0 + W @ coef
