@@ -49,11 +49,16 @@ class LiftDragSurfForce:
         )
 
     def evaliftdragforce(self, v_full, p):
-        """Returns ``(lift, drag)`` forces (reference ordering,
-        problem_setups.py:1134)."""
+        """Returns ``(lift, drag)`` forces on the body (reference ordering,
+        problem_setups.py:1134).
+
+        The discrete momentum residual summed over the body dofs is the
+        force the body exerts on the fluid; the benchmark force on the
+        body is its negative.
+        """
         res = self.momentum_residual(v_full, p) * self.rho
-        drag = res[self.xdofs].sum()
-        lift = res[self.ydofs].sum()
+        drag = -res[self.xdofs].sum()
+        lift = -res[self.ydofs].sum()
         return lift, drag
 
     def coefficients(self, v_full, p, charvel, charlen):
@@ -70,10 +75,10 @@ class LiftDragSurfForce:
         coords = self.prob.space.p2_coords
         nodes_x = self.xdofs // 2
         arm = coords[nodes_x] - np.asarray(center)
-        # phi_x = -(y - cy), phi_y = (x - cx)
+        # phi_x = -(y - cy), phi_y = (x - cx); force on body = -residual
         tq = (-arm[:, 1] * res[self.xdofs]).sum() \
             + (arm[:, 0] * res[self.ydofs]).sum()
-        return tq
+        return -tq
 
 
 def pressure_drop(prob, p, a1=(0.15, 0.2), a2=(0.25, 0.2)):

@@ -63,6 +63,8 @@ class NSEProblem:
     invinds: np.ndarray = None
     bcinds: np.ndarray = None
     bcvals: np.ndarray = None
+    fv_body_full: np.ndarray = None  # unmerged body force, full dofs
+    fp_body_full: np.ndarray = None
     ldsbcinds: Optional[np.ndarray] = None   # lift/drag surface vdofs
     Arob: Optional[sps.spmatrix] = None
     Brob: Optional[np.ndarray] = None
@@ -163,15 +165,17 @@ def build_problem(
 
     # ---- rhs + pressure pinning ----------------------------------------------
     fv_full, fp_full = assemble_rhs(ctx)    # zero body force by default
+    mats_c = dict(mats)   # pinning applies to the condensed system only;
+    fp_cond = fp_full     # prob.full keeps the untouched operators
     if geo.ppin is not None:
         if geo.ppin != -1:
             raise NotImplementedError("can only pin p at the last dof")
-        mats["J"] = sps.csr_matrix(mats["J"])[:-1, :]
-        mats["JT"] = sps.csr_matrix(mats["JT"])[:, :-1]
-        fp_full = fp_full[:-1]
+        mats_c["J"] = sps.csr_matrix(mats["J"])[:-1, :]
+        mats_c["JT"] = sps.csr_matrix(mats["JT"])[:, :-1]
+        fp_cond = fp_full[:-1]
 
     matsc, rhsbc, invinds, bcinds, bcvals = condense_sysmats(
-        mats, [dbcinds], [dbcvals]
+        mats_c, [dbcinds], [dbcvals]
     )
 
     prob = NSEProblem(
@@ -187,10 +191,12 @@ def build_problem(
         JTc=matsc["JT"],
         MP=matsc["MP"],
         fv=fv_full[invinds] + rhsbc["fv"],
-        fp=fp_full + rhsbc["fp"],
+        fp=fp_cond + rhsbc["fp"],
         invinds=invinds,
         bcinds=bcinds,
         bcvals=bcvals,
+        fv_body_full=fv_full,
+        fp_body_full=fp_full,
     )
     if geo.liftdrag_tag is not None:
         nodes = space.boundary_nodes(geo.liftdrag_tag)

@@ -77,14 +77,21 @@ def convection_matrices_host(ctx, u0_full):
 # device kernels
 # ---------------------------------------------------------------------------
 
+@jax.tree_util.register_pytree_node_class
 class ConvectionKernel:
     """Static-shape device kernels bound to one FEM space.
 
-    Holds the (device-resident) element tables; all methods are jittable
-    and safe inside ``lax.scan`` bodies.
+    Holds the (device-resident) element tables; registered as a pytree so
+    it can be passed *through* ``jax.jit`` as an argument — closing over
+    the tables would embed them as constants in the lowered HLO (which
+    breaks remote-compile size limits and defeats executable caching).
     """
 
-    def __init__(self, ctx: AssemblyContext, dtype=None):
+    def __init__(self, ctx: AssemblyContext = None, dtype=None, _leaves=None):
+        if _leaves is not None:
+            (self.Nq, self.gphi, self.wdet, self.nodes,
+             self.vdofs_flat) = _leaves
+            return
         space = ctx.space
         dtype = dtype or jnp.float64
         self.nv_full = space.nv_full
@@ -94,6 +101,16 @@ class ConvectionKernel:
         self.nodes = jnp.asarray(ctx.space.p2_dofmap)   # (nc,6)
         vd = ctx.space.vdofs_of_cells()                  # (nc,6,2)
         self.vdofs_flat = jnp.asarray(vd.reshape(-1))
+
+    def tree_flatten(self):
+        return ((self.Nq, self.gphi, self.wdet, self.nodes,
+                 self.vdofs_flat), (self.nv_full,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls(_leaves=children)
+        obj.nv_full = aux[0]
+        return obj
 
     def _fields_at_quad(self, u_full):
         ue = u_full.reshape(-1, 2)[self.nodes]                   # (nc,6,2)

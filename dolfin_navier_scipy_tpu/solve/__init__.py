@@ -1,5 +1,18 @@
 """Solvers: saddle-point linear algebra, steady NSE, time integrators."""
 
-from .sadpnt import SaddleSolver, solve_sadpnt, solve_sadpnt_host  # noqa: F401
+from .sadpnt import (  # noqa: F401
+    InverseSaddleSolver,
+    SaddleSolver,
+    solve_sadpnt,
+    solve_sadpnt_host,
+)
 from .steady import solve_steadystate_nse  # noqa: F401
 from .pfromv import get_pfromv  # noqa: F401
+from .timeint import (  # noqa: F401
+    DirichletControl,
+    cnab,
+    sbdf2,
+    semi_implicit_euler,
+)
+from .nse import solve_nse  # noqa: F401
+from .newton_ti import solve_nse_newton_ti  # noqa: F401

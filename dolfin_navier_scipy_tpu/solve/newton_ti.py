@@ -1,0 +1,211 @@
+"""Fully-implicit Newton-in-time integration (trapezoidal rule).
+
+Re-designs the reference's sectioned Newton sweep over trajectories
+(stokes_navier_utils.py:1304-1587):
+
+* the linearization trajectory lives in device memory (the reference
+  stores/loads every step as ``.npy``, :1425,:1540-1546),
+* each time step solves ``[[M + dt/2 (A + N(v_lin)), J^T],[J,0]]`` —
+  instead of a fresh LU per step (:1505-1512) we run matrix-free GMRES
+  preconditioned with the *fixed* Stokes-level inverse of
+  ``[[M + dt/2 A, J^T],[J,0]]`` (one MXU matmul per application); the
+  convection matvec uses per-element matrices without global assembly,
+* static low-rank feedback (``umat @ vmat``) enters the matvec directly —
+  no Sherman-Morrison bookkeeping needed,
+* the Newton update norm is the trajectory M-norm
+  ``sum_t dt (v-v_lin)^T M (v-v_lin)`` (:1557-1560), with the
+  Picard-to-Newton switch of ``vel_pcrd_stps`` (:1314-1321),
+* all device buffers pass through jit as pytree arguments (bundle),
+  never as closed-over constants.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .timeint import _build_ops
+
+
+def _make_bundle(prob, dt, inv_dtype=None):
+    ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype)
+    full2in = np.full(prob.nv_full, len(prob.invinds), dtype=np.int32)
+    full2in[prob.invinds] = np.arange(len(prob.invinds), dtype=np.int32)
+    vd = prob.space.vdofs_of_cells().reshape(-1, 12)
+    return dict(
+        ops=ops,
+        kern=prob.conv_kernel,
+        invinds=jnp.asarray(prob.invinds),
+        v_bc=jnp.asarray(prob.bc_full_vec()),
+        fv=jnp.asarray(np.asarray(prob.fv).ravel()),
+        fp=jnp.asarray(np.asarray(prob.fp).ravel()),
+        ell_dofs=jnp.asarray(full2in[vd]),     # (nc,12), nin = masked
+    )
+
+
+def _n_matvec(b, elem, x_inner):
+    """``N(v_lin) @ x`` on inner dofs from element matrices (nc,12,12)."""
+    nin = b["ops"].nin
+    xpad = jnp.concatenate([x_inner, jnp.zeros((1,), x_inner.dtype)])
+    xe = xpad[b["ell_dofs"]]                       # (nc,12)
+    fe = jnp.einsum("eab,eb->ea", elem, xe)
+    out = jax.ops.segment_sum(
+        fe.reshape(-1), b["ell_dofs"].reshape(-1), num_segments=nin + 1)
+    return out[:nin]
+
+
+def _conv_data(b, v_lin_inner, picard):
+    """Element matrices + rhs contributions at a linearization point."""
+    v_full = b["v_bc"].at[b["invinds"]].set(v_lin_inner)
+    kern = b["kern"]
+    elem = kern.element_matrices(v_full, picard_only=picard)
+    elem = elem.reshape(-1, 12, 12)
+    # bc-column folding: -N @ u_bc (matrix-free, two-field conv vectors)
+    conbc = kern.vector(b["v_bc"], v_full)
+    if not picard:
+        conbc = conbc + kern.vector(v_full, b["v_bc"])
+    rhs = b["fv"] - conbc[b["invinds"]]
+    if not picard:
+        rhs = rhs + kern.vector(v_full)[b["invinds"]]
+    return elem, rhs
+
+
+@partial(jax.jit,
+         static_argnames=("picard", "gmres_restart", "gmres_maxiter",
+                          "gmres_tol"))
+def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
+           gmres_restart=20, gmres_maxiter=3, gmres_tol=1e-12):
+    """One Newton/Picard sweep over the whole time horizon.
+
+    ``lin_traj (Nts+1, nin)``; ``umat (nin,k)/vmat (k,nin)`` static
+    feedback (pass (nin,0)-shaped zeros when unused).  Returns
+    ``(v_traj, p_traj[1:], update_norm)``.
+    """
+    ops = b["ops"]
+    dt = ops.dt
+    M, A = ops.M, ops.A
+    solver = ops.solver
+    nin = ops.nin
+    npp = b["fp"].shape[0]
+
+    def sysmatvec(elem, x):
+        v, q = x[:nin], x[nin:]
+        rv = (M.matvec(v) + 0.5 * dt * A.matvec(v)
+              + 0.5 * dt * _n_matvec(b, elem, v)
+              + solver.JT_ell.matvec(q))
+        if umat.shape[1]:
+            rv = rv - 0.5 * dt * (umat @ (vmat @ v))
+        rp = solver.J_ell.matvec(v)
+        return jnp.concatenate([rv, rp])
+
+    def precond(x):
+        return (solver.Kinv @ x.astype(solver.inv_dtype)).astype(x.dtype)
+
+    elem0, rhs0 = _conv_data(b, lin_traj[0], picard)
+
+    def step(carry, lin_n):
+        v_old, x_prev, elem_c, rhs_c = carry
+        elem_n, rhs_n = _conv_data(b, lin_n, picard)
+        rhsv = (M.matvec(v_old)
+                - 0.5 * dt * A.matvec(v_old)
+                - 0.5 * dt * _n_matvec(b, elem_c, v_old)
+                + 0.5 * dt * (rhs_c + rhs_n))
+        if umat.shape[1]:
+            rhsv = rhsv + 0.5 * dt * (umat @ (vmat @ v_old))
+        rhs = jnp.concatenate([rhsv, b["fp"]])
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            lambda y: sysmatvec(elem_n, y),
+            rhs, x0=x_prev, M=precond,
+            tol=gmres_tol, atol=0.0,
+            restart=gmres_restart, maxiter=gmres_maxiter,
+            solve_method="batched",
+        )
+        v_new = x[:nin]
+        p_new = -x[nin:] / dt
+        return (v_new, x, elem_n, rhs_n), (v_new, p_new)
+
+    x0 = jnp.concatenate([iniv, jnp.zeros((npp,))])
+    _, (vs, ps) = lax.scan(step, (iniv, x0, elem0, rhs0), lin_traj[1:])
+    v_traj = jnp.concatenate([iniv[None], vs], axis=0)
+    dv = v_traj - lin_traj
+    nrm = jnp.sqrt(jnp.abs(
+        dt * jnp.einsum("ti,ti->", dv, jax.vmap(M.matvec)(dv))))
+    return v_traj, ps, nrm
+
+
+def solve_nse_newton_ti(
+    prob=None, trange=None, iniv=None, inip=None,
+    lin_vel_point=None, stokes_flow=False,
+    vel_nwtn_stps=4, vel_nwtn_tol=1e-10, vel_pcrd_stps=0,
+    umat=None, vmat=None,
+    nsects=1, addfullsweep=True,
+    controls=None, save_every=1, verbose=False,
+    gmres_restart=20, gmres_maxiter=3, **kw,
+):
+    """Newton-over-trajectories driver (reference semantics, in-memory).
+
+    ``lin_vel_point``: None -> linearize about the constant-in-time
+    initial value; an (nin,) vector -> about that state; an
+    (Nts+1, nin) array -> about that trajectory (the reference's
+    ``dictofvelstrs`` mechanism, time_dep_nse_linearizations.py:35-60).
+    """
+    if controls:
+        raise NotImplementedError(
+            "Dirichlet control in the implicit path: use the semi-explicit "
+            "integrators for controlled runs (reference drivers do too)")
+    trange = np.asarray(trange)
+    dt = float(trange[1] - trange[0])
+    nts = len(trange) - 1
+    b = _make_bundle(prob, dt)
+    nin = b["ops"].nin
+
+    iniv = jnp.asarray(np.asarray(iniv).ravel())
+    if lin_vel_point is None:
+        lin_traj = jnp.broadcast_to(iniv, (nts + 1, nin))
+    else:
+        lvp = jnp.asarray(np.asarray(lin_vel_point))
+        if lvp.ndim == 1:
+            lvp = lvp[jnp.asarray(prob.invinds)] \
+                if lvp.shape[0] == prob.nv_full else lvp
+            lin_traj = jnp.broadcast_to(lvp, (nts + 1, nin))
+        else:
+            lin_traj = lvp
+
+    if umat is None:
+        umat = jnp.zeros((nin, 0))
+        vmat = jnp.zeros((0, nin))
+    else:
+        umat = jnp.asarray(np.asarray(umat))
+        vmat = jnp.asarray(np.asarray(vmat))
+
+    import logging
+
+    log = logging.getLogger(__name__)
+    norms, ps = [], None
+    for k in range(vel_pcrd_stps + vel_nwtn_stps):
+        picard = k < vel_pcrd_stps
+        v_traj, ps, nrm = _sweep(
+            b, lin_traj, iniv, umat, vmat, picard=picard,
+            gmres_restart=gmres_restart, gmres_maxiter=gmres_maxiter)
+        norms.append(float(nrm))
+        if verbose:
+            log.info(f"{'Picard' if picard else 'Newton'} sweep {k}: "
+                     f"update norm {float(nrm):e}")
+        lin_traj = v_traj
+        if not picard and float(nrm) < vel_nwtn_tol:
+            break
+
+    p_traj = jnp.concatenate(
+        [jnp.asarray(np.asarray(inip).ravel())[None], ps], axis=0)
+    k = max(int(save_every or 0), 0)
+    sel = np.arange(0, nts + 1, k) if k else None
+    return dict(
+        v=lin_traj[-1], p=p_traj[-1], ffflag=False,
+        times=None if k == 0 else trange[sel],
+        vs=None if k == 0 else lin_traj[sel],
+        ps=None if k == 0 else p_traj[sel],
+        nwtn_norms=norms, v_traj=lin_traj,
+    )

@@ -42,7 +42,12 @@ def _to_dense(mat):
 
 
 class SaddleSolver:
-    """Reusable on-device factorization of one saddle matrix."""
+    """Reusable on-device factorization of one saddle matrix.
+
+    On TPU (no f64 LU primitive) the factorization is f32 and solves are
+    refined against the f64 matrix (iterative refinement); on CPU the
+    LU is straight f64.
+    """
 
     def __init__(self, amat, jmat, jmatT=None, dtype=None):
         dtype = dtype or jnp.float64
@@ -54,13 +59,31 @@ class SaddleSolver:
         K[:nv, nv:] = _to_dense(jT)
         K[nv:, :nv] = _to_dense(jmat)
         self.nv, self.np = nv, npp
-        self.lu, self.piv = jax.scipy.linalg.lu_factor(jnp.asarray(K, dtype))
+        on_cpu = jax.default_backend() == "cpu"
+        self.lu_dtype = dtype if on_cpu else jnp.float32
+        self.n_refine = 0 if (on_cpu or dtype != jnp.float64) else 4
+        self.K = jnp.asarray(K, dtype) if self.n_refine else None
+        self.lu, self.piv = jax.scipy.linalg.lu_factor(
+            jnp.asarray(K, self.lu_dtype))
+        self.dtype = dtype
+
+    def _backsolve(self, B):
+        """LU backsolve with iterative refinement; B is (n,) or (n,k)."""
+        X = jax.scipy.linalg.lu_solve(
+            (self.lu, self.piv), B.astype(self.lu_dtype)
+        ).astype(B.dtype)
+        for _ in range(self.n_refine):
+            R = B - self.K @ X
+            X = X + jax.scipy.linalg.lu_solve(
+                (self.lu, self.piv), R.astype(self.lu_dtype)
+            ).astype(B.dtype)
+        return X
 
     @partial(jax.jit, static_argnums=0)
     def solve(self, rhsv, rhsp):
         """Solve for stacked ``[v; q] (nv+np,)``; jit/scan-safe."""
         rhs = jnp.concatenate([rhsv.reshape(-1), rhsp.reshape(-1)])
-        return jax.scipy.linalg.lu_solve((self.lu, self.piv), rhs)
+        return self._backsolve(rhs)
 
     @partial(jax.jit, static_argnums=0)
     def solve_smw(self, rhsv, rhsp, umat, vmat):
@@ -72,7 +95,7 @@ class SaddleSolver:
         x0 = self.solve(rhsv, rhsp)
         k = umat.shape[1]
         uhat = jnp.vstack([umat, jnp.zeros((self.np, k), dtype=umat.dtype)])
-        W = jax.scipy.linalg.lu_solve((self.lu, self.piv), uhat)
+        W = self._backsolve(uhat)
         vhat = jnp.hstack([vmat, jnp.zeros((vmat.shape[0], self.np),
                                            dtype=vmat.dtype)])
         small = jnp.eye(k, dtype=umat.dtype) - vhat @ W
@@ -100,6 +123,90 @@ def solve_sadpnt(amat=None, jmat=None, jmatT=None, rhsv=None, rhsp=None,
     if return_solver:
         return out, solver
     return out
+
+
+@jax.tree_util.register_pytree_node_class
+class InverseSaddleSolver:
+    """TPU-native reusable saddle solver: explicit inverse on the MXU plus
+    float64 iterative refinement with *sparse* residuals.
+
+    Registered as a pytree: pass it INTO jitted functions rather than
+    closing over it — the dense inverse must become an HLO parameter,
+    not an embedded constant.
+
+    TPUs have no f64 LU/triangular-solve primitives, and the reference's
+    one-LU-many-backsolves pattern (time_int_utils.py:89-91) maps poorly
+    onto a systolic array.  Instead:
+
+    * setup (host, one-time): factorize ``K = [[A, J^T],[J, 0]]`` in f64
+      and form ``K^{-1}``; ship it to device in ``inv_dtype`` (f32 on TPU).
+    * per solve (device): ``x0 = Kinv @ rhs`` — a single MXU matmul — then
+      ``refine`` rounds of ``x += Kinv @ (rhs - K x)`` with the residual
+      computed from the *sparse* ELL operators in f64 (cheap VPU work),
+      recovering f64 accuracy from the f32 inverse.
+    """
+
+    def __init__(self, amat=None, jmat=None, jmatT=None, refine=None,
+                 inv_dtype=None, dtype=None, _leaves=None, _aux=None):
+        import scipy.linalg as spla
+
+        from ..ops.sparse import ell_from_scipy_fast
+
+        if _leaves is not None:
+            (self.Kinv, self.A_ell, self.J_ell, self.JT_ell) = _leaves
+            (self.nv, self.np, self.refine, self.inv_dtype,
+             self.dtype) = _aux
+            return
+
+        dtype = dtype or jnp.float64
+        nv, npp = amat.shape[0], jmat.shape[0]
+        self.nv, self.np = nv, npp
+        jT = jmat.T if jmatT is None else jmatT
+
+        K = np.zeros((nv + npp, nv + npp))
+        K[:nv, :nv] = _to_dense(amat)
+        K[:nv, nv:] = _to_dense(jT)
+        K[nv:, :nv] = _to_dense(jmat)
+        lu, piv = spla.lu_factor(K)
+        Kinv = spla.lu_solve((lu, piv), np.eye(nv + npp))
+
+        if inv_dtype is None:
+            on_tpu = jax.default_backend() not in ("cpu",)
+            inv_dtype = jnp.float32 if on_tpu else dtype
+        self.inv_dtype = inv_dtype
+        self.Kinv = jnp.asarray(Kinv, inv_dtype)
+        if refine is None:
+            refine = 3 if inv_dtype == jnp.float32 else 0
+        self.refine = refine
+        self.dtype = dtype
+        # sparse twins, for residual refinement and matrix-free callers
+        self.A_ell = ell_from_scipy_fast(amat, dtype=dtype)
+        self.J_ell = ell_from_scipy_fast(jmat, dtype=dtype)
+        self.JT_ell = ell_from_scipy_fast(jT, dtype=dtype)
+
+    def tree_flatten(self):
+        return ((self.Kinv, self.A_ell, self.J_ell, self.JT_ell),
+                (self.nv, self.np, self.refine, self.inv_dtype, self.dtype))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(_leaves=children, _aux=aux)
+
+    def _K_matvec(self, x):
+        v, q = x[: self.nv], x[self.nv:]
+        rv = self.A_ell.matvec(v) + self.JT_ell.matvec(q)
+        rp = self.J_ell.matvec(v)
+        return jnp.concatenate([rv, rp])
+
+    def solve(self, rhsv, rhsp):
+        """Plain (non-jitted) method: call from within jitted code that
+        received this solver as a pytree argument."""
+        rhs = jnp.concatenate([rhsv.reshape(-1), rhsp.reshape(-1)])
+        x = (self.Kinv @ rhs.astype(self.inv_dtype)).astype(self.dtype)
+        for _ in range(self.refine):
+            r = rhs - self._K_matvec(x)
+            x = x + (self.Kinv @ r.astype(self.inv_dtype)).astype(self.dtype)
+        return x
 
 
 # ---------------------------------------------------------------------------

@@ -6,7 +6,12 @@ Re-designs the reference's ``solve_steadystate_nse``
 * the linearized convection operator is assembled **on device** each
   iteration (element batch einsums + scatter into a dense condensed
   saddle matrix) instead of FEniCS re-assembly + scipy slicing,
-* each iteration is one jitted ``build -> LU -> solve`` pipeline,
+* each iteration is one jitted ``build -> LU -> solve`` pipeline; on TPU
+  (no f64 LU primitive) the factorization is f32 with f64 iterative
+  refinement,
+* device buffers travel through ``jax.jit`` as pytree arguments (the
+  :class:`SteadySolverKernel` is a registered pytree) — closing over them
+  would embed the dense saddle matrix as an HLO constant,
 * the M-norm update criterion and the Picard->Newton switch match the
   reference exactly (tolerances: stokes_navier_utils.py:222-223).
 
@@ -22,16 +27,21 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
 class SteadySolverKernel:
-    """Device pipeline bound to one condensed problem."""
+    """Device pipeline bound to one condensed problem (pytree)."""
 
-    def __init__(self, prob):
-        self.prob = prob
+    def __init__(self, prob=None, _leaves=None, _aux=None):
+        if _leaves is not None:
+            (self.Kbase, self.cond_vd, self.kern, self.invinds,
+             self.v_bc, self.Mc, self.fv, self.fp) = _leaves
+            (self.nin, self.npp, self.ncond, self.lu_dtype,
+             self.n_refine) = _aux
+            return
         nin = len(prob.invinds)
         npp = prob.np_cond
         self.nin, self.npp = nin, npp
         self.ncond = nin + npp
-        kern = prob.conv_kernel
 
         # full-vdof -> condensed index ([0,nin) inner, ncond = trash row)
         full2cond = np.full(prob.nv_full, self.ncond, dtype=np.int32)
@@ -46,36 +56,33 @@ class SteadySolverKernel:
         K[nin:self.ncond, :nin] = prob.Jc.todense()
         self.Kbase = jnp.asarray(K)
 
-        self.kern = kern
+        self.kern = prob.conv_kernel
         self.invinds = jnp.asarray(prob.invinds)
         self.v_bc = jnp.asarray(prob.bc_full_vec())      # bc vals, 0 inside
         self.Mc = prob.Mc_ell
-        self.fv = jnp.asarray(prob.fv.ravel())
-        self.fp = jnp.asarray(prob.fp.ravel())
+        self.fv = jnp.asarray(np.asarray(prob.fv).ravel())
+        self.fp = jnp.asarray(np.asarray(prob.fp).ravel())
+        # TPUs have no f64 LU: factorize in f32, recover accuracy with
+        # iterative refinement against the f64 matrix (kept alongside)
+        on_cpu = jax.default_backend() == "cpu"
+        self.lu_dtype = jnp.float64 if on_cpu else jnp.float32
+        self.n_refine = 0 if on_cpu else 4
 
+    def tree_flatten(self):
+        return ((self.Kbase, self.cond_vd, self.kern, self.invinds,
+                 self.v_bc, self.Mc, self.fv, self.fp),
+                (self.nin, self.npp, self.ncond, self.lu_dtype,
+                 self.n_refine))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(_leaves=children, _aux=aux)
+
+    # plain methods (call inside jitted entry points below)
     def embed(self, v_inner):
-        full = self.v_bc
-        return full.at[self.invinds].set(v_inner)
+        return self.v_bc.at[self.invinds].set(v_inner)
 
-    @partial(jax.jit, static_argnames=("self", "picard"))
-    def factorize(self, v_full, picard=False):
-        """Assemble linearized convection on device, add to the Stokes
-        saddle matrix, LU-factorize."""
-        elem = self.kern.element_matrices(v_full, picard_only=picard)
-        shp = elem.shape
-        rows = jnp.broadcast_to(self.cond_vd[:, :, :, None, None], shp)
-        cols = jnp.broadcast_to(self.cond_vd[:, None, None, :, :], shp)
-        K = self.Kbase.at[rows.ravel(), cols.ravel()].add(elem.ravel())
-        return jax.scipy.linalg.lu_factor(K[: self.ncond, : self.ncond])
-
-    @partial(jax.jit, static_argnames=("self", "picard"))
-    def rhs(self, v_full, picard=False):
-        """fv + convection rhs + bc-folding terms, on the inner dofs.
-
-        Newton: ``+ (u0.grad)u0`` (stokes_navier_utils.py:497-499); the
-        Dirichlet-column folding ``-N @ u_bc`` is evaluated matrix-free
-        via two-field convection vectors.
-        """
+    def _rhs(self, v_full, picard):
         conbc = self.kern.vector(self.v_bc, v_full)      # (u0.grad)u_bc
         if not picard:
             conbc = conbc + self.kern.vector(v_full, self.v_bc)
@@ -84,21 +91,59 @@ class SteadySolverKernel:
             rv = rv + self.kern.vector(v_full)[self.invinds]
         return rv, self.fp
 
-    @partial(jax.jit, static_argnames=("self",))
-    def solve(self, lupiv, rhsv, rhsp):
-        sol = jax.scipy.linalg.lu_solve(
-            lupiv, jnp.concatenate([rhsv, rhsp])
-        )
-        return sol[: self.nin], -sol[self.nin:]   # flip: physical pressure
 
-    @partial(jax.jit, static_argnames=("self",))
-    def m_norm(self, dv):
-        return jnp.sqrt(jnp.abs(dv @ self.Mc.matvec(dv)))
+# ---- jitted entry points (sk passes through as a pytree argument) --------
 
-    def stokes_lupiv(self):
-        return jax.scipy.linalg.lu_factor(
-            self.Kbase[: self.ncond, : self.ncond]
-        )
+@partial(jax.jit, static_argnames=("picard",))
+def _factorize(sk, v_full, picard=False):
+    """Assemble linearized convection on device, add to the Stokes saddle
+    matrix, LU-factorize (f32 + f64 matrix kept on TPU)."""
+    elem = sk.kern.element_matrices(v_full, picard_only=picard)
+    shp = elem.shape
+    rows = jnp.broadcast_to(sk.cond_vd[:, :, :, None, None], shp)
+    cols = jnp.broadcast_to(sk.cond_vd[:, None, None, :, :], shp)
+    K = sk.Kbase.at[rows.ravel(), cols.ravel()].add(elem.ravel())
+    K = K[: sk.ncond, : sk.ncond]
+    lupiv = jax.scipy.linalg.lu_factor(K.astype(sk.lu_dtype))
+    return lupiv, K
+
+
+@partial(jax.jit, static_argnames=("picard",))
+def _rhs(sk, v_full, picard=False):
+    """fv + convection rhs + bc-folding terms on the inner dofs.
+
+    Newton adds ``(u0.grad)u0`` (stokes_navier_utils.py:497-499); the
+    Dirichlet-column folding ``-N @ u_bc`` is evaluated matrix-free via
+    two-field convection vectors."""
+    return sk._rhs(v_full, picard)
+
+
+@jax.jit
+def _solve(sk, lupiv, K, rhsv, rhsp):
+    rhs = jnp.concatenate([rhsv, rhsp])
+    sol = jax.scipy.linalg.lu_solve(
+        lupiv, rhs.astype(sk.lu_dtype)).astype(rhs.dtype)
+    for _ in range(sk.n_refine):
+        r = rhs - K @ sol
+        sol = sol + jax.scipy.linalg.lu_solve(
+            lupiv, r.astype(sk.lu_dtype)).astype(rhs.dtype)
+    return sol[: sk.nin], -sol[sk.nin:]    # flip: physical pressure
+
+
+@jax.jit
+def _stokes_factor(sk):
+    K = sk.Kbase[: sk.ncond, : sk.ncond]
+    return jax.scipy.linalg.lu_factor(K.astype(sk.lu_dtype)), K
+
+
+@jax.jit
+def _embed(sk, v_inner):
+    return sk.embed(v_inner)
+
+
+@jax.jit
+def _m_norm(sk, dv):
+    return jnp.sqrt(jnp.abs(dv @ sk.Mc.matvec(dv)))
 
 
 def solve_steadystate_nse(
@@ -127,20 +172,20 @@ def solve_steadystate_nse(
     norms = []
 
     if vel_start_nwtn is None or only_stokes:
-        lupiv = sk.stokes_lupiv()
-        v_inner, p = sk.solve(lupiv, sk.fv, sk.fp)
+        lupiv, K = _stokes_factor(sk)
+        v_inner, p = _solve(sk, lupiv, K, sk.fv, sk.fp)
     else:
         v_start = jnp.asarray(np.asarray(vel_start_nwtn).ravel())
-        v_inner = v_start[sk.invinds]
+        v_inner = v_start[jnp.asarray(prob.invinds)]
         p = jnp.zeros((sk.npp,))
 
     if not only_stokes:
         for k in range(vel_pcrd_stps):
-            v_full = sk.embed(v_inner)
-            lupiv = sk.factorize(v_full, picard=True)
-            rhsv, rhsp = sk.rhs(v_full, picard=True)
-            v_new, p = sk.solve(lupiv, rhsv, rhsp)
-            upd = float(sk.m_norm(v_new - v_inner))
+            v_full = _embed(sk, v_inner)
+            lupiv, K = _factorize(sk, v_full, picard=True)
+            rhsv, rhsp = _rhs(sk, v_full, picard=True)
+            v_new, p = _solve(sk, lupiv, K, rhsv, rhsp)
+            upd = float(_m_norm(sk, v_new - v_inner))
             v_inner = v_new
             if verbose:
                 log.info(f"Picard iteration {k + 1} -- update norm {upd:e}")
@@ -149,11 +194,11 @@ def solve_steadystate_nse(
 
         converged = False
         for k in range(vel_nwtn_stps):
-            v_full = sk.embed(v_inner)
-            lupiv = sk.factorize(v_full, picard=False)
-            rhsv, rhsp = sk.rhs(v_full, picard=False)
-            v_new, p = sk.solve(lupiv, rhsv, rhsp)
-            upd = float(sk.m_norm(v_new - v_inner))
+            v_full = _embed(sk, v_inner)
+            lupiv, K = _factorize(sk, v_full, picard=False)
+            rhsv, rhsp = _rhs(sk, v_full, picard=False)
+            v_new, p = _solve(sk, lupiv, K, rhsv, rhsp)
+            upd = float(_m_norm(sk, v_new - v_inner))
             norms.append(upd)
             v_inner = v_new
             if verbose:
@@ -167,7 +212,7 @@ def solve_steadystate_nse(
             warnings.warn("Steady State NSE: Newton has not converged",
                           UserWarning)
 
-    vwc = np.asarray(sk.embed(v_inner)).reshape(-1, 1)
+    vwc = np.asarray(_embed(sk, v_inner)).reshape(-1, 1)
     ret = (vwc, np.asarray(p).reshape(-1, 1)) if return_vp else vwc
     if return_nwtnupd_norms:
         return ret, norms

@@ -1,0 +1,463 @@
+"""Time integrators as ``lax.scan`` device loops.
+
+Re-designs the reference's ``time_int_utils`` (cnab :23-145, sbdftwo
+:260-355, _onestepheun :366-477, semi_implicit_euler :566-635) for TPU:
+
+* the coefficient matrix ``[[M + theta dt A, J^T],[J, 0]]`` is factorized
+  ONCE (the property that makes the reference's CNAB loop fast,
+  time_int_utils.py:89-91) as an :class:`InverseSaddleSolver` — per step
+  the solve is a single MXU matmul + f64 sparse-residual refinement,
+* the convection vector is re-assembled on device each step by the
+  :class:`ConvectionKernel` (the reference crosses into FEniCS assembly
+  every step — the dominant cost, SURVEY.md 3.3),
+* the mode-tagged callback protocol (getbcs/dynamic_rhs ``memory`` dicts)
+  becomes pure functions with explicit scan carry,
+* the blow-up check (time_int_utils.py:99-103) becomes a carried flag
+  that freezes the state instead of ``break``,
+* ALL device buffers (inverse, ELL operators, element tables) travel as
+  pytree *arguments* through ``jax.jit`` — never as closed-over
+  constants, which would be embedded into the HLO (breaking compile-size
+  limits and executable caching).
+
+Sign conventions: ``nfc = -N(v)v`` goes to the rhs with plus signs
+(get_v_conv_conts ``semi_explicit``, stokes_navier_utils.py:103-107);
+the raw saddle pressure is rescaled ``p = -q/dt`` (time_int_utils.py:137).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.sparse import ell_from_scipy_fast
+from .sadpnt import InverseSaddleSolver, host_saddle_factorized
+
+
+@dataclass
+class DirichletControl:
+    """Time/state-dependent Dirichlet boundary control.
+
+    ``dofs`` are *full-space* velocity dofs (must be excluded from the
+    problem's inner dofs at build time); ``stencil`` is the spatial shape
+    (e.g. a rotating-cylinder tangent field);
+    ``ufunc(t, v_full, p, memory, mode) -> (scalar, memory)`` is a pure
+    function scaling the stencil — the analogue of the reference's
+    ``diricontfuncs`` memory-dict protocol (stokes_navier_utils.py:164-183).
+    """
+
+    dofs: np.ndarray
+    stencil: np.ndarray
+    ufunc: Callable
+    memory: object = None
+
+
+@jax.tree_util.register_pytree_node_class
+class TimeIntOps:
+    """Device operator bundle (pytree) for the semi-explicit integrators."""
+
+    def __init__(self, solver, M, A, dt, theta):
+        self.solver = solver
+        self.M = M
+        self.A = A
+        self.dt = dt
+        self.theta = theta
+        self.nin = M.shape[0]
+
+    def tree_flatten(self):
+        return ((self.solver, self.M, self.A),
+                (self.dt, self.theta, self.nin))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.solver, obj.M, obj.A = children
+        obj.dt, obj.theta, obj.nin = aux
+        return obj
+
+
+def _build_ops(prob, dt, theta, inv_dtype=None, refine=None):
+    import scipy.sparse as sps
+
+    coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
+    solver = InverseSaddleSolver(coeff, prob.Jc, prob.JTc,
+                                 inv_dtype=inv_dtype, refine=refine)
+    return TimeIntOps(solver=solver, M=ell_from_scipy_fast(prob.Mc),
+                      A=ell_from_scipy_fast(prob.Ac), dt=dt, theta=theta)
+
+
+def _control_blocks(prob, controls):
+    """Dense column blocks (A, J, M)[:, control-dofs] and stencil layout.
+
+    These are pytree-friendly dicts of device arrays.
+    """
+    if not controls:
+        return None
+    dofs = np.concatenate([np.asarray(c.dofs) for c in controls])
+    Afull, Jfull, Mfull = prob.full["A"], prob.full["J"], prob.full["M"]
+    Abc = jnp.asarray(np.asarray(Afull[:, dofs].todense())[prob.invinds])
+    Jbc = jnp.asarray(np.asarray(Jfull[:, dofs].todense()))
+    if prob.geo.ppin is not None:
+        Jbc = Jbc[:-1]
+    Mbc = jnp.asarray(np.asarray(Mfull[:, dofs].todense())[prob.invinds])
+    stencils = [jnp.asarray(np.asarray(c.stencil)) for c in controls]
+    return dict(dofs=jnp.asarray(dofs), Abc=Abc, Jbc=Jbc, Mbc=Mbc,
+                stencils=stencils)
+
+
+def _consts(prob, controls):
+    """Static per-problem device vectors, passed through jit as args."""
+    return dict(
+        invinds=jnp.asarray(prob.invinds),
+        v_bc=jnp.asarray(prob.bc_full_vec()),
+        fv=jnp.asarray(np.asarray(prob.fv).ravel()),
+        fp=jnp.asarray(np.asarray(prob.fp).ravel()),
+        cb=_control_blocks(prob, controls),
+    )
+
+
+def _eval_controls(controls, cn, t, v_full, p, mems, mode):
+    """-> (cvals concatenated, new memories, bfv, bfp, mbc)."""
+    if not controls:
+        return None, (), 0.0, 0.0, 0.0
+    cb = cn["cb"]
+    vals, newmems = [], []
+    for c, stn, mem in zip(controls, cb["stencils"], mems):
+        scal, mem = c.ufunc(t, v_full, p, mem, mode)
+        vals.append(scal * stn)
+        newmems.append(mem)
+    cvals = jnp.concatenate(vals)
+    bfv = -(cb["Abc"] @ cvals)
+    bfp = -(cb["Jbc"] @ cvals)
+    mbc = cb["Mbc"] @ cvals
+    return cvals, tuple(newmems), bfv, bfp, mbc
+
+
+def _embed(cn, has_controls, v_inner, cvals):
+    full = cn["v_bc"].at[cn["invinds"]].set(v_inner)
+    if has_controls:
+        full = full.at[cn["cb"]["dofs"]].set(cvals)
+    return full
+
+
+def _zero_fns(prob, f_tdp, g_tdp, dynamic_rhs):
+    nin = len(prob.invinds)
+    npc = prob.np_cond
+    fv = jnp.asarray(np.asarray(prob.fv).ravel())
+    fp = jnp.asarray(np.asarray(prob.fp).ravel())
+    if f_tdp is None:
+        f_tdp = lambda t: fv                       # noqa: E731
+    if g_tdp is None:
+        g_tdp = lambda t: fp                       # noqa: E731
+    if dynamic_rhs is None:
+        zero = jnp.zeros((nin,))
+
+        def dynamic_rhs(t, vc=None, memory=None, mode=None):
+            return zero, memory
+
+    return f_tdp, g_tdp, dynamic_rhs, npc
+
+
+def ell_matvec_np(spmat, x):
+    """scipy matvec on a jax/numpy vector, returning jnp."""
+    return jnp.asarray(spmat @ np.asarray(x))
+
+
+def _heun_bootstrap(prob, t0, t1, v0, p0, f_vdp, f_tdp, g_tdp,
+                    dynamic_rhs, drm, controls, cn,
+                    predictor="IMEX-Euler"):
+    """One Heun (predictor/corrector) step on the host
+    (time_int_utils.py:366-477); runs once, outside the scan."""
+    dt = t1 - t0
+    nin = len(prob.invinds)
+    has_c = bool(controls)
+
+    def embed(v, cvals):
+        return _embed(cn, has_c, v, cvals)
+
+    mems0 = tuple(c.memory for c in (controls or []))
+    zero_c = (jnp.zeros(sum(len(np.asarray(c.dofs)) for c in controls))
+              if has_c else None)
+    cvals_c, cmems, bfv_c, bfp_c, mbc_c = _eval_controls(
+        controls, cn, t0, embed(v0, zero_c), p0, mems0, "init")
+    v0f = embed(v0, cvals_c)
+    fv_c = f_tdp(t0)
+    nfc_c = f_vdp(v0f)
+    dfv_c, drm = dynamic_rhs(t0, vc=v0, memory=drm, mode="init")
+    tdfv, drm = dynamic_rhs(t1, vc=v0, memory=drm, mode="heunpred")
+
+    tcvals, cmems, tbfv, tbfp, tmbc = _eval_controls(
+        controls, cn, t1, v0f, p0, cmems, "heunpred")
+    fv_n, fp_n = f_tdp(t1), g_tdp(t1)
+
+    Mv0 = ell_matvec_np(prob.Mc, v0)
+    Av0 = ell_matvec_np(prob.Ac, v0)
+    if predictor == "IMEX-Euler":
+        tfv = Mv0 + dt * (fv_n + tbfv + tdfv) + dt * nfc_c - (tmbc - mbc_c)
+        presolve = host_saddle_factorized(
+            prob.Mc + dt * prob.Ac, prob.Jc, prob.JTc)
+    else:  # IMEX-trpz
+        tfv = (Mv0 - 0.5 * dt * Av0
+               + 0.5 * dt * (fv_c + fv_n + tbfv + bfv_c + tdfv + dfv_c)
+               + dt * nfc_c - (tmbc - mbc_c))
+        presolve = host_saddle_factorized(
+            prob.Mc + 0.5 * dt * prob.Ac, prob.Jc, prob.JTc)
+    tvp = presolve(np.asarray(tfv), np.asarray(fp_n + tbfp))
+    tv_n = jnp.asarray(tvp[:nin].ravel())
+    tp_n = -jnp.asarray(tvp[nin:].ravel()) / dt
+
+    # corrector: explicit trapezoidal, implicit only in the projection
+    dfv_n, drm = dynamic_rhs(t1, vc=tv_n, memory=drm, mode="heuncorr")
+    tvf = embed(tv_n, tcvals)
+    tnfc_n = f_vdp(tvf)
+    cvals_n, cmems, bfv_n, bfp_n, mbc_n = _eval_controls(
+        controls, cn, t1, tvf, tp_n, cmems, "heuncorr")
+    rhs_n = (Mv0 - (mbc_n - mbc_c)
+             - 0.5 * dt * (Av0 + ell_matvec_np(prob.Ac, tv_n))
+             + 0.5 * dt * (fv_c + fv_n + bfv_n + bfv_c + dfv_n + dfv_c
+                           + nfc_c + tnfc_n))
+    msolve = host_saddle_factorized(prob.Mc, prob.Jc, prob.JTc)
+    vp = msolve(np.asarray(rhs_n), np.asarray(fp_n + bfp_n))
+    v_n = jnp.asarray(vp[:nin].ravel())
+    p_n = -jnp.asarray(vp[nin:].ravel()) / dt
+    nfc_n = f_vdp(embed(v_n, cvals_n))
+    return dict(v=v_n, p=p_n, nfc_c=nfc_c, nfc_n=nfc_n, fv_n=fv_n,
+                dfv_n=dfv_n, drm=drm, cvals=cvals_n, cmems=cmems,
+                bfv=bfv_n, mbc=mbc_n, v_pred=tv_n, p_pred=tp_n)
+
+
+@partial(jax.jit, static_argnames=("step", "save_every", "nsteps"))
+def _scan_jit(step, bundle, carry, ts, save_every, nsteps):
+    """Scan with decimated trajectory output; ``bundle`` carries all
+    device buffers as traced pytree args."""
+    if save_every is None or save_every <= 0:
+        carry = lax.scan(lambda c, t: (step(bundle, c, t), None),
+                         carry, ts)[0]
+        return carry, None
+    k = save_every
+    nfull = nsteps // k
+    ys = None
+    if nfull:
+        def chunk(c, tchunk):
+            c = lax.scan(lambda cc, t: (step(bundle, cc, t), None),
+                         c, tchunk)[0]
+            return c, (c["v"], c["p"])
+
+        carry, ys = lax.scan(chunk, carry,
+                             ts[: nfull * k].reshape(nfull, k))
+    if nsteps % k:
+        carry = lax.scan(lambda c, t: (step(bundle, c, t), None),
+                         carry, ts[nfull * k:])[0]
+    return carry, ys
+
+
+def _run_scan(step, bundle, carry, ts, save_every):
+    n = len(ts)
+    carry, ys = _scan_jit(step, bundle, carry, jnp.asarray(ts),
+                          save_every, n)
+    if ys is None:
+        return carry, None, None
+    k = save_every
+    tout = np.asarray(ts[: (n // k) * k]).reshape(-1, k)[:, -1]
+    return carry, ys, tout
+
+
+def _make_f_vdp(stokes_flow, nin):
+    if stokes_flow:
+        def f_vdp(bundle, v_full):
+            return jnp.zeros((nin,))
+    else:
+        def f_vdp(bundle, v_full):
+            cn = bundle["cn"]
+            return -bundle["kern"].vector(v_full)[cn["invinds"]]
+    return f_vdp
+
+
+def cnab(trange=None, prob=None, inivel=None, inip=None,
+         stokes_flow=False,
+         f_tdp=None, g_tdp=None, dynamic_rhs=None, dynamic_rhs_memory=None,
+         controls: Optional[List[DirichletControl]] = None,
+         check_ff_maxv=1e8, save_every=1,
+         predictor="IMEX-Euler",
+         inv_dtype=None, refine=None, ops=None, verbose=False, **kw):
+    """Crank-Nicolson / Adams-Bashforth-2 (reference time_int_utils.py:23).
+
+    Returns a dict with the final ``(v, p)``, the blow-up flag and the
+    decimated trajectory ``(times, vs, ps)`` (device arrays).
+    """
+    trange = np.asarray(trange)
+    dt = float(trange[1] - trange[0])
+    if ops is None:
+        ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype,
+                         refine=refine)
+    nin = len(prob.invinds)
+    cn = _consts(prob, controls)
+    bundle = dict(ops=ops, kern=prob.conv_kernel, cn=cn)
+    has_c = bool(controls)
+    f_vdp_b = _make_f_vdp(stokes_flow, nin)
+    f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,
+                                               dynamic_rhs)
+
+    v0 = jnp.asarray(np.asarray(inivel).ravel())
+    p0 = (jnp.zeros((npc,)) if inip is None
+          else jnp.asarray(np.asarray(inip).ravel()))
+
+    bs = _heun_bootstrap(prob, trange[0], trange[1], v0, p0,
+                         lambda vf: f_vdp_b(bundle, vf),
+                         f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
+                         controls, cn, predictor=predictor)
+
+    def step(b, c, t):
+        ops_, cn_ = b["ops"], b["cn"]
+        nfc_o = c["nfc"]
+        v_full = _embed(cn_, has_c, c["v"], c["cvals"])
+        nfc_c = f_vdp_b(b, v_full)
+        cvals_n, cmems, bfv_n, bfp_n, mbc_n = _eval_controls(
+            controls, cn_, t, v_full, c["p"], c["cmems"], "abtwo")
+        fv_n = f_tdp(t)
+        dfv_n, drm_n = dynamic_rhs(t, vc=c["v"], memory=c["drm"],
+                                   mode="abtwo")
+        rhs = (ops_.M.matvec(c["v"]) - 0.5 * dt * ops_.A.matvec(c["v"])
+               - (mbc_n - c["mbc"])
+               + 0.5 * dt * (3 * nfc_c - nfc_o)
+               + 0.5 * dt * (c["fv"] + fv_n + bfv_n + c["bfv"]
+                             + dfv_n + c["dfv"]))
+        sol = ops_.solver.solve(rhs, g_tdp(t) + bfp_n)
+        v_n = sol[:ops_.nin]
+        p_n = -sol[ops_.nin:] / dt
+        nrm = jnp.linalg.norm(v_n)
+        bad = jnp.logical_or(nrm > check_ff_maxv, jnp.isnan(nrm))
+        flag = jnp.logical_or(c["flag"], bad)
+        v_n = jnp.where(flag, c["v"], v_n)
+        p_n = jnp.where(flag, c["p"], p_n)
+        return dict(v=v_n, p=p_n, nfc=nfc_c, fv=fv_n, dfv=dfv_n,
+                    drm=drm_n, cvals=cvals_n, cmems=cmems, bfv=bfv_n,
+                    mbc=mbc_n, flag=flag)
+
+    # the carried "previous" convection entering the first AB2 step is the
+    # one at v0 (reference hands nfc_c from _onestepheun into the loop,
+    # time_int_utils.py:78+:112)
+    carry = dict(v=bs["v"], p=bs["p"], nfc=bs["nfc_c"], fv=bs["fv_n"],
+                 dfv=bs["dfv_n"], drm=bs["drm"], cvals=bs["cvals"],
+                 cmems=bs["cmems"], bfv=bs["bfv"], mbc=bs["mbc"],
+                 flag=jnp.asarray(False))
+    carry, ys, tout = _run_scan(step, bundle, carry, trange[2:], save_every)
+
+    return dict(
+        v=carry["v"], p=carry["p"], ffflag=bool(carry["flag"]),
+        times=tout, vs=None if ys is None else ys[0],
+        ps=None if ys is None else ys[1],
+        bootstrap=bs, ops=ops,
+    )
+
+
+def sbdf2(trange=None, prob=None, inivel=None, inip=None,
+          stokes_flow=False,
+          f_tdp=None, g_tdp=None, dynamic_rhs=None, dynamic_rhs_memory=None,
+          controls: Optional[List[DirichletControl]] = None,
+          check_ff_maxv=1e8, save_every=1,
+          inv_dtype=None, refine=None, ops=None, verbose=False, **kw):
+    """Semi-implicit BDF2 (reference ``sbdftwo``, time_int_utils.py:260):
+    implicit ``M + 2/3 dt A``, extrapolated convection ``2 N(v_c)-N(v_p)``."""
+    trange = np.asarray(trange)
+    dt = float(trange[1] - trange[0])
+    if ops is None:
+        ops = _build_ops(prob, dt, theta=2.0 / 3.0, inv_dtype=inv_dtype,
+                         refine=refine)
+    nin = len(prob.invinds)
+    cn = _consts(prob, controls)
+    bundle = dict(ops=ops, kern=prob.conv_kernel, cn=cn)
+    has_c = bool(controls)
+    f_vdp_b = _make_f_vdp(stokes_flow, nin)
+    f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,
+                                               dynamic_rhs)
+
+    v0 = jnp.asarray(np.asarray(inivel).ravel())
+    p0 = (jnp.zeros((npc,)) if inip is None
+          else jnp.asarray(np.asarray(inip).ravel()))
+
+    bs = _heun_bootstrap(prob, trange[0], trange[1], v0, p0,
+                         lambda vf: f_vdp_b(bundle, vf),
+                         f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
+                         controls, cn)
+
+    # previous-step control mass term for the 3-level mbc correction
+    if controls:
+        _, _, _, _, mbc_p0 = _eval_controls(
+            controls, cn, trange[0], _embed(cn, True, v0, bs["cvals"]),
+            p0, bs["cmems"], "abtwo")
+    else:
+        mbc_p0 = 0.0
+
+    def step(b, c, t):
+        ops_, cn_ = b["ops"], b["cn"]
+        nfc_p = c["nfc_p"]
+        v_full = _embed(cn_, has_c, c["v"], c["cvals"])
+        nfc_c = f_vdp_b(b, v_full)
+        cvals_n, cmems, bfv_n, bfp_n, mbc_n = _eval_controls(
+            controls, cn_, t, v_full, c["p"], c["cmems"], "abtwo")
+        fv_n = f_tdp(t)
+        dfv_n, drm_n = dynamic_rhs(t, vc=c["v"], memory=c["drm"],
+                                   mode="abtwo")
+        rhs = (1.0 / 3.0 * ops_.M.matvec(4.0 * c["v"] - c["v_p"])
+               - (mbc_n - 4.0 / 3.0 * c["mbc"] + 1.0 / 3.0 * c["mbc_p"])
+               + 2.0 / 3.0 * dt * bfv_n
+               + 2.0 / 3.0 * dt * (2 * nfc_c - nfc_p)
+               + 2.0 / 3.0 * dt * (fv_n + dfv_n))
+        sol = ops_.solver.solve(rhs, g_tdp(t) + bfp_n)
+        v_n = sol[:ops_.nin]
+        p_n = -sol[ops_.nin:] / dt
+        nrm = jnp.linalg.norm(v_n)
+        bad = jnp.logical_or(nrm > check_ff_maxv, jnp.isnan(nrm))
+        flag = jnp.logical_or(c["flag"], bad)
+        v_n = jnp.where(flag, c["v"], v_n)
+        p_n = jnp.where(flag, c["p"], p_n)
+        mbc_pn = (jnp.where(flag, c["mbc_p"], c["mbc"])
+                  if controls else 0.0)
+        return dict(v=v_n, v_p=jnp.where(flag, c["v_p"], c["v"]), p=p_n,
+                    nfc_p=nfc_c, fv=fv_n, dfv=dfv_n, drm=drm_n,
+                    cvals=cvals_n, cmems=cmems, mbc=mbc_n,
+                    mbc_p=mbc_pn, flag=flag)
+
+    carry = dict(v=bs["v"], v_p=v0, p=bs["p"], nfc_p=bs["nfc_c"],
+                 fv=bs["fv_n"], dfv=bs["dfv_n"], drm=bs["drm"],
+                 cvals=bs["cvals"], cmems=bs["cmems"], mbc=bs["mbc"],
+                 mbc_p=mbc_p0, flag=jnp.asarray(False))
+    carry, ys, tout = _run_scan(step, bundle, carry, trange[2:], save_every)
+    return dict(
+        v=carry["v"], p=carry["p"], ffflag=bool(carry["flag"]),
+        times=tout, vs=None if ys is None else ys[0],
+        ps=None if ys is None else ys[1],
+        bootstrap=bs, ops=ops,
+    )
+
+
+def semi_implicit_euler(trange=None, prob=None, inivel=None, rhs_tv=None,
+                        save_every=1, inv_dtype=None, refine=None, **kw):
+    """``(M + dt A) v_n + dt J^T q = M v_c + dt rhs(t, v_c)`` with one
+    reused factorization (reference time_int_utils.py:566-635)."""
+    trange = np.asarray(trange)
+    dt = float(trange[1] - trange[0])
+    ops = _build_ops(prob, dt, theta=1.0, inv_dtype=inv_dtype, refine=refine)
+    cn = _consts(prob, None)
+    bundle = dict(ops=ops, kern=prob.conv_kernel, cn=cn)
+    if rhs_tv is None:
+        fv = jnp.asarray(np.asarray(prob.fv).ravel())
+        rhs_tv = lambda t, v: fv                   # noqa: E731
+
+    def step(b, c, t):
+        ops_ = b["ops"]
+        rhs = ops_.M.matvec(c["v"]) + dt * rhs_tv(t, c["v"])
+        sol = ops_.solver.solve(rhs, b["cn"]["fp"])
+        return dict(v=sol[:ops_.nin], p=-sol[ops_.nin:] / dt)
+
+    carry = dict(v=jnp.asarray(np.asarray(inivel).ravel()),
+                 p=jnp.zeros((prob.np_cond,)))
+    carry, ys, tout = _run_scan(step, bundle, carry, trange[1:], save_every)
+    return dict(v=carry["v"], p=carry["p"], times=tout,
+                vs=None if ys is None else ys[0],
+                ps=None if ys is None else ys[1], ops=ops)

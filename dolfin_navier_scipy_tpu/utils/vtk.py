@@ -1,0 +1,110 @@
+"""Paraview output: legacy-free XML VTU writer + PVD time series.
+
+Replaces the reference's ``output_paraview`` (data_output_utils.py:14-71,
+which defers to ``dolfin.File``): velocity (P2, written at the P1
+vertices + embedded midpoint refinement is overkill — we export the
+P1-subsampled field, plus optional P2 point data on the quadratic
+nodes) and pressure (P1) on the triangle mesh.
+"""
+
+import os
+import xml.sax.saxutils as sax
+
+import numpy as np
+
+
+def write_vtu(fname, mesh, pointdata=None):
+    """Write a triangle mesh with named point-data arrays to ASCII VTU.
+
+    ``pointdata``: dict name -> (nverts,) scalars or (nverts, 2/3) vectors.
+    """
+    verts = mesh.verts
+    cells = mesh.cells
+    nv, nc = len(verts), len(cells)
+    with open(fname, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n<UnstructuredGrid>\n')
+        f.write(f'<Piece NumberOfPoints="{nv}" NumberOfCells="{nc}">\n')
+        f.write('<Points><DataArray type="Float64" NumberOfComponents="3" '
+                'format="ascii">\n')
+        for x, y in verts:
+            f.write(f"{x} {y} 0.0\n")
+        f.write("</DataArray></Points>\n<Cells>\n")
+        f.write('<DataArray type="Int32" Name="connectivity" format="ascii">\n')
+        for c in cells:
+            f.write(f"{c[0]} {c[1]} {c[2]}\n")
+        f.write('</DataArray>\n<DataArray type="Int32" Name="offsets" '
+                'format="ascii">\n')
+        for k in range(1, nc + 1):
+            f.write(f"{3 * k}\n")
+        f.write('</DataArray>\n<DataArray type="UInt8" Name="types" '
+                'format="ascii">\n')
+        f.write("5\n" * nc)
+        f.write("</DataArray>\n</Cells>\n")
+        f.write("<PointData>\n")
+        for name, arr in (pointdata or {}).items():
+            arr = np.asarray(arr)
+            if arr.ndim == 1:
+                f.write(f'<DataArray type="Float64" Name="{sax.escape(name)}"'
+                        ' format="ascii">\n')
+                for v in arr:
+                    f.write(f"{v}\n")
+            else:
+                ncomp = 3
+                f.write(f'<DataArray type="Float64" Name="{sax.escape(name)}"'
+                        f' NumberOfComponents="{ncomp}" format="ascii">\n')
+                for row in arr:
+                    z = 0.0 if arr.shape[1] == 2 else row[2]
+                    f.write(f"{row[0]} {row[1]} {z}\n")
+            f.write("</DataArray>\n")
+        f.write("</PointData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+
+
+class PVDWriter:
+    """``.pvd`` time-series writer with time filtering (the reference's
+    ``tfilter`` subsampling, data_output_utils.py:29-35)."""
+
+    def __init__(self, prefix, prob, tfilter=None):
+        self.prefix = prefix
+        self.prob = prob
+        self.tfilter = None if tfilter is None else list(tfilter)
+        self.entries = []
+        os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+
+    def write(self, v_full=None, p=None, t=0.0):
+        if self.tfilter is not None:
+            if not self.tfilter or t < self.tfilter[0]:
+                return
+            self.tfilter.pop(0)
+        prob = self.prob
+        nv = prob.space.mesh.num_verts
+        data = {}
+        if v_full is not None:
+            vf = np.asarray(v_full).reshape(-1, 2)
+            data["velocity"] = vf[:nv]          # vertex values of P2 field
+        if p is not None:
+            p = np.asarray(p).ravel()
+            if prob.geo.ppin is not None and len(p) == prob.np_cond:
+                p = np.concatenate([p, [0.0]])
+            data["pressure"] = p
+        fname = f"{self.prefix}_{len(self.entries):06d}.vtu"
+        write_vtu(fname, prob.space.mesh, data)
+        self.entries.append((t, os.path.basename(fname)))
+
+    def close(self):
+        with open(self.prefix + ".pvd", "w") as f:
+            f.write('<?xml version="1.0"?>\n<VTKFile type="Collection" '
+                    'version="0.1">\n<Collection>\n')
+            for t, fn in self.entries:
+                f.write(f'<DataSet timestep="{t}" part="0" file="{fn}"/>\n')
+            f.write("</Collection>\n</VTKFile>\n")
+
+
+def output_paraview(prob=None, vp=None, vc=None, pc=None, t=None,
+                    vfile=None, pfile=None, writeoutput=True, **kw):
+    """Loose API-parity shim over :class:`PVDWriter`
+    (reference data_output_utils.py:14-71)."""
+    if not writeoutput or vfile is None:
+        return
+    vfile.write(v_full=vc, p=pc, t=t or 0.0)

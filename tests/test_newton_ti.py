@@ -1,0 +1,69 @@
+"""Implicit Newton-in-time integration tests (reference path:
+stokes_navier_utils.py:1304-1587 via tests/time_dep_nse_.py etc.)."""
+
+import numpy as np
+import pytest
+
+from dolfin_navier_scipy_tpu.models import drivencavity_problem
+from dolfin_navier_scipy_tpu.solve import (
+    cnab,
+    solve_nse,
+    solve_steadystate_nse,
+)
+
+
+@pytest.fixture(scope="module")
+def cavity():
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-13)
+    return prob, vss.ravel()[prob.invinds]
+
+
+def test_implicit_preserves_steady_state(cavity):
+    prob, vss = cavity
+    out = solve_nse(prob=prob, trange=np.linspace(0, 0.3, 31), iniv=vss,
+                    treat_nonl_explicit=False, vel_nwtn_stps=3,
+                    vel_nwtn_tol=1e-12, save_every=None)
+    drift = np.abs(np.asarray(out["v"]) - vss).max()
+    assert drift < 1e-8
+    assert out["nwtn_norms"][-1] < 1e-8
+
+
+def test_implicit_agrees_with_cnab(cavity):
+    """From a perturbed state, the implicit trapezoidal Newton solution
+    and semi-explicit CNAB agree at the truncation-error level."""
+    prob, vss = cavity
+    rng = np.random.default_rng(3)
+    v0 = vss * (1 + 0.0)  # same start; dynamics driven by perturbed force
+    import jax.numpy as jnp
+
+    # relax from a perturbed initial condition
+    v0 = np.asarray(vss) + 0.05 * rng.normal(size=len(vss))
+    # project the perturbed state to divergence-free (Stokes projection):
+    # easiest: run one tiny implicit solve which enforces J v = fp anyway
+    trange = np.linspace(0, 0.25, 126)
+    oimp = solve_nse(prob=prob, trange=trange, iniv=v0,
+                     treat_nonl_explicit=False, vel_nwtn_stps=6,
+                     vel_nwtn_tol=1e-12, save_every=None)
+    oexp = cnab(trange=trange, prob=prob, inivel=v0, save_every=None)
+    dv = np.asarray(oimp["v"]) - np.asarray(oexp["v"])
+    nrm = float(np.sqrt(abs(dv @ (prob.Mc @ dv))))
+    assert nrm < 5e-4, nrm
+    assert oimp["nwtn_norms"][-1] < 1e-12
+
+
+def test_linearization_warm_start(cavity):
+    """Newton about a stored trajectory converges faster than about a
+    constant state (time_dep_nse_linearizations.py:35-60 pattern)."""
+    prob, vss = cavity
+    rng = np.random.default_rng(5)
+    v0 = np.asarray(vss) + 0.05 * rng.normal(size=len(vss))
+    trange = np.linspace(0, 0.2, 41)
+    first = solve_nse(prob=prob, trange=trange, iniv=v0,
+                      treat_nonl_explicit=False, vel_nwtn_stps=5,
+                      vel_nwtn_tol=1e-13, save_every=None)
+    warm = solve_nse(prob=prob, trange=trange, iniv=v0,
+                     treat_nonl_explicit=False, vel_nwtn_stps=2,
+                     lin_vel_point=np.asarray(first["v_traj"]),
+                     vel_nwtn_tol=1e-13, save_every=None)
+    assert warm["nwtn_norms"][0] < 1e-10

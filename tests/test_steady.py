@@ -54,7 +54,8 @@ def _manufactured_problem(n=8, with_convection=True):
         mats, [prob.bcinds], [prob.bcvals], invinds=prob.invinds
     )
     prob.fv = fv_full[prob.invinds] + rhsbc["fv"]
-    prob.fp = fp_full[:-1] + rhsbc["fp"]
+    prob.fp = fp_full[:-1] + rhsbc["fp"][:-1]   # pinned pressure dof
+    prob.fv_body_full = fv_full
     return prob
 
 

