@@ -53,6 +53,7 @@ def channel_with_cylinder(
     height: float = 0.41,
     center=(0.2, 0.2),
     radius: float = 0.05,
+    control_arcs=None,
 ) -> TriMesh:
     """Body-fitted mesh of the DFG cylinder-wake channel.
 
@@ -64,15 +65,20 @@ def channel_with_cylinder(
 
     Physical tags follow the bundled geometry JSONs: 1 inflow (x=0),
     2 outflow (x=length), 3 bottom wall, 4 top wall, 5 cylinder surface.
+
+    ``control_arcs``: optional list of ``(center_angle_deg, width_deg)``
+    marking cylinder-surface arcs as control boundaries (tags 6, 7, ...) —
+    the native analogue of the reference's karman2D-outlets control
+    segments (problem_setups.py:925-941).
     """
     from scipy.spatial import Delaunay
 
     cx, cy = center
-    scale = 2 ** (level - 1)
+    scale = 2.0 ** (level - 1)       # level 0 = extra-coarse (tests)
 
     # --- O-grid around the cylinder ---------------------------------------
-    n_theta = 48 * scale
-    n_rad = 4 + 2 * scale
+    n_theta = int(48 * scale)
+    n_rad = int(4 + 2 * scale)
     r_out = min(2.8 * radius, cy * 0.95)
     ratio = (r_out / radius) ** (1.0 / n_rad)
     radii = radius * ratio ** np.arange(n_rad + 1)
@@ -130,16 +136,29 @@ def channel_with_cylinder(
     tags = {}
     on_circle = (
         np.hypot(pts[edges[:, 0], 0] - cx, pts[edges[:, 0], 1] - cy)
-        < radius + 1e-7
+        < radius * (1 + 1e-6)
     ) & (
         np.hypot(pts[edges[:, 1], 0] - cx, pts[edges[:, 1], 1] - cy)
-        < radius + 1e-7
+        < radius * (1 + 1e-6)
     )
     tags[INFLOW] = edges[np.abs(mids[:, 0]) < tol]
     tags[OUTFLOW] = edges[np.abs(mids[:, 0] - length) < tol]
     tags[WALL_BOT] = edges[(np.abs(mids[:, 1]) < tol) & (mids[:, 0] > tol)]
     tags[WALL_TOP] = edges[np.abs(mids[:, 1] - height) < tol]
-    tags[CYLINDER] = edges[on_circle]
+    cyl_edges = edges[on_circle]
+    if control_arcs:
+        ang = np.degrees(np.arctan2(
+            0.5 * (pts[cyl_edges[:, 0], 1] + pts[cyl_edges[:, 1], 1]) - cy,
+            0.5 * (pts[cyl_edges[:, 0], 0] + pts[cyl_edges[:, 1], 0]) - cx))
+        taken = np.zeros(len(cyl_edges), dtype=bool)
+        for i, (ca, wa) in enumerate(control_arcs):
+            d = (ang - ca + 180.0) % 360.0 - 180.0
+            sel = (np.abs(d) <= wa / 2.0) & ~taken
+            tags[6 + i] = cyl_edges[sel]
+            taken |= sel
+        tags[CYLINDER] = cyl_edges[~taken]
+    else:
+        tags[CYLINDER] = cyl_edges
     ntagged = sum(len(v) for v in tags.values())
     if ntagged != len(edges):
         raise RuntimeError(

@@ -57,6 +57,25 @@ def control_shapefun(xone, xtwo):
     return fn
 
 
+def arc_control_shapefun(center, radius, angle_deg, width_deg):
+    """Parabolic control shape on a cylinder-surface arc, directed along
+    the inward normal (native analogue of the reference's segment
+    controls, problem_setups.py:990-1011)."""
+    center = np.asarray(center, dtype=float)
+    a0 = np.radians(angle_deg - width_deg / 2.0)
+    a1 = np.radians(angle_deg + width_deg / 2.0)
+
+    def fn(x):
+        d = np.asarray(x) - center
+        th = np.arctan2(d[1], d[0])
+        s = ((th - a0) % (2 * np.pi)) / (a1 - a0)
+        s = np.clip(s, 0.0, 1.0)
+        nrm = -d / np.linalg.norm(d)     # inward normal
+        return 6.0 * s * (1.0 - s) * nrm
+
+    return fn
+
+
 def geosetup_from_json(path_or_dict, inflowvel=1.0, movingwallcntrl=False,
                        rotcntrl_omega=0.0, bccontrol=True):
     """Parse the reference's geometry-descriptor JSON schema into
@@ -78,12 +97,15 @@ def geosetup_from_json(path_or_dict, inflowvel=1.0, movingwallcntrl=False,
     if "outflow" in d:
         geo.outflow_tag = d["outflow"]["physical entity"]
 
+    geo.moving_wall_cntrl = movingwallcntrl
     for mw in d.get("moving walls", []):
         tag = mw["physical entity"]
         if mw["type"] != "circle":
             raise NotImplementedError(mw["type"])
         cgeo = mw["geometry"]
-        omega = rotcntrl_omega if movingwallcntrl else 0.0
+        # control: unit-omega stencil (scaled by the control function);
+        # otherwise a static rotation at rotcntrl_omega (0 = rigid wall)
+        omega = 1.0 if movingwallcntrl else rotcntrl_omega
         geo.moving_wall_tags.append(tag)
         geo.moving_wall_fns[tag] = rotating_circle_fn(
             cgeo["center"], cgeo["radius"], omega
@@ -92,12 +114,18 @@ def geosetup_from_json(path_or_dict, inflowvel=1.0, movingwallcntrl=False,
     for cbc in d.get("controlbcs", []):
         tag = cbc["physical entity"]
         geo.control_tags.append(tag)
-        if cbc.get("type", "inlet") == "inlet":
+        ctype = cbc.get("type", "inlet")
+        if ctype == "inlet":
             geo.control_shapefuns.append(
                 control_shapefun(cbc["xone"], cbc["xtwo"])
             )
+        elif ctype == "arc":
+            geo.control_shapefuns.append(
+                arc_control_shapefun(cbc["center"], cbc["radius"],
+                                     cbc["angle"], cbc["width"])
+            )
         else:
-            raise NotImplementedError(cbc["type"])
+            raise NotImplementedError(ctype)
     if not bccontrol:
         geo.wall_tags += geo.control_tags
         geo.control_tags, geo.control_shapefuns = [], []
@@ -130,6 +158,22 @@ DFG_BENCH_GEO = {
 """The DFG 2D benchmark descriptor
 (= tests/mesh/karman2D-rotcyl-bm_geo_cntrlbc.json of the reference)."""
 
+DFG_CONTROL_ARCS = ((50.0, 15.0), (-50.0, 15.0))
+
+DFG_BCCONTROL_GEO = dict(
+    DFG_BENCH_GEO,
+    controlbcs=[
+        {"physical entity": 6, "type": "arc", "center": [0.2, 0.2],
+         "radius": 0.05, "angle": DFG_CONTROL_ARCS[0][0],
+         "width": DFG_CONTROL_ARCS[0][1]},
+        {"physical entity": 7, "type": "arc", "center": [0.2, 0.2],
+         "radius": 0.05, "angle": DFG_CONTROL_ARCS[1][0],
+         "width": DFG_CONTROL_ARCS[1][1]},
+    ],
+)
+"""DFG channel with two Robin-controllable arcs on the cylinder — the
+native analogue of the reference's karman2D-outlets configuration."""
+
 
 def cylinderwake_problem(
     level=1,
@@ -150,9 +194,11 @@ def cylinderwake_problem(
     (reference 'cylinder_rot' problem class, problem_setups.py:125-128).
     """
     if mesh is None:
-        mesh = channel_with_cylinder(level=level)
+        mesh = channel_with_cylinder(
+            level=level,
+            control_arcs=DFG_CONTROL_ARCS if bccontrol else None)
     geo = geosetup_from_json(
-        geodata or DFG_BENCH_GEO,
+        geodata or (DFG_BCCONTROL_GEO if bccontrol else DFG_BENCH_GEO),
         inflowvel=charvel,
         movingwallcntrl=movingwallcntrl,
         rotcntrl_omega=rotcntrl_omega,

@@ -38,6 +38,7 @@ class GeoSetup:
     control_shapefuns: List[Callable] = field(default_factory=list)
     odcoo: Optional[dict] = None
     ppin: Optional[int] = None                # pressure pinning (-1 or None)
+    moving_wall_cntrl: bool = False           # moving walls are controls
 
 
 @dataclass
@@ -68,11 +69,17 @@ class NSEProblem:
     ldsbcinds: Optional[np.ndarray] = None   # lift/drag surface vdofs
     Arob: Optional[sps.spmatrix] = None
     Brob: Optional[np.ndarray] = None
+    # Dirichlet-control dof groups: list of (dofs, stencil) pairs — the
+    # analogue of the reference's diricontbcinds/diricontbcvals
+    # (stokes_navier_utils.py:259-265)
+    dircntrl: Optional[List] = None
+    elem_tensors: Optional[Dict] = None      # per-element M/A/J blocks
 
     def __post_init__(self):
         self._conv_kernel = None
         self._mc_ell = None
         self._steady_kernel = None
+        self._element_ops = None
 
     # -- sizes ---------------------------------------------------------------
     @property
@@ -102,6 +109,16 @@ class NSEProblem:
         if self._steady_kernel is None:
             self._steady_kernel = SteadySolverKernel(self)
         return self._steady_kernel
+
+    def element_ops(self):
+        """Element-level (M, A, J) device operators on the inner dofs."""
+        if self.elem_tensors is None:
+            return None
+        if self._element_ops is None:
+            from ..ops.elementop import build_element_ops
+
+            self._element_ops = build_element_ops(self)
+        return self._element_ops
 
     # -- helpers ----------------------------------------------------------------
     def bc_full_vec(self) -> np.ndarray:
@@ -150,11 +167,20 @@ def build_problem(
 
     # ---- Dirichlet data ------------------------------------------------------
     bcdict = {}
+    dircntrl = []
     for tag in geo.wall_tags:
         bcdict.update(space.dirichlet_dofs(tag, lambda x: (0.0, 0.0)))
     for tag in geo.moving_wall_tags:
         fn = geo.moving_wall_fns.get(tag, lambda x: (0.0, 0.0))
-        bcdict.update(space.dirichlet_dofs(tag, fn))
+        if geo.moving_wall_cntrl:
+            # control dofs: excluded from the inner set, zero static value,
+            # time-varying values applied by the integrators' controls
+            stencil_d = space.dirichlet_dofs(tag, fn)
+            cdofs = np.array(sorted(stencil_d), dtype=np.int64)
+            dircntrl.append((cdofs, np.array([stencil_d[i] for i in cdofs])))
+            bcdict.update({int(i): 0.0 for i in cdofs})
+        else:
+            bcdict.update(space.dirichlet_dofs(tag, fn))
     if not bccontrol:
         for tag in geo.control_tags:
             bcdict.update(space.dirichlet_dofs(tag, lambda x: (0.0, 0.0)))
@@ -197,7 +223,10 @@ def build_problem(
         bcvals=bcvals,
         fv_body_full=fv_full,
         fp_body_full=fp_full,
+        elem_tensors=mats.pop("_elem", None),
     )
+    if dircntrl:
+        prob.dircntrl = dircntrl
     if geo.liftdrag_tag is not None:
         nodes = space.boundary_nodes(geo.liftdrag_tag)
         prob.ldsbcinds = np.concatenate([2 * nodes, 2 * nodes + 1])

@@ -83,6 +83,7 @@ def assemble_stokes(
     outflow_tag=None,
     control_tags=None,
     control_shapefuns=None,
+    keep_elements: bool = True,
 ):
     """Assemble the Stokes operator family; see module docstring.
 
@@ -118,11 +119,13 @@ def assemble_stokes(
         Avec[:, :, 0, :, 0] += K1
         Avec[:, :, 1, :, 1] += K1
     Avec *= nu
-    A = _vec_coo(space, Avec)
 
-    # outflow do-nothing correction for the symmetrized gradient
+    # outflow do-nothing correction for the symmetrized gradient, folded
+    # directly into the owning cells' element tensors
     if gradvsymmtrc and outflow_tag is not None:
-        A = A - nu * assemble_gradT_normal_facets(ctx, outflow_tag)
+        fcells, felem = gradT_normal_facet_elements(ctx, outflow_tag)
+        np.add.at(Avec, fcells, -nu * felem)
+    A = _vec_coo(space, Avec)
 
     # ---- divergence / gradient -------------------------------------------
     Je = np.einsum("eq,qa,eqbj->eabj", wdet, ctx.N1, ctx.gphi2)  # (nc,3,6,2)
@@ -145,6 +148,12 @@ def assemble_stokes(
     ).tocsr()
 
     out = {"M": M, "A": A, "J": J, "JT": sps.csr_matrix(J.T), "MP": MP}
+    if keep_elements:
+        out["_elem"] = {
+            "M": Mvec.reshape(nc, 12, 12),
+            "A": Avec.reshape(nc, 12, 12),
+            "J": Je.reshape(nc, 3, 12),
+        }
 
     # ---- Robin boundary control ops ---------------------------------------
     if control_tags:
@@ -201,12 +210,22 @@ def facet_quad_data(ctx: AssemblyContext, tag: int, nq: int = 3):
     return dict(cells=fcells, N=N, gphi=dN, w=w, normal=normal, xq=xq)
 
 
-def assemble_gradT_normal_facets(ctx: AssemblyContext, tag: int):
-    """``int_Gamma (grad(u)^T n) . v ds`` on facets tagged ``tag``.
+def gradT_normal_facet_elements(ctx: AssemblyContext, tag: int):
+    """Per-facet element blocks of ``int_Gamma (grad(u)^T n) . v ds``.
 
     Entry ``[(a,i),(b,j)] = int d(phi_b)/dx_i * n_j * phi_a ds`` — the
     outflow correction term of dolfin_to_sparrays.py:246-248.
+    Returns ``(owning_cells (nf,), elem (nf,6,2,6,2))``.
     """
+    fq = facet_quad_data(ctx, tag)
+    elem = np.einsum(
+        "fq,fqa,fqbi,fj->faibj", fq["w"], fq["N"], fq["gphi"], fq["normal"]
+    )
+    return fq["cells"], elem
+
+
+def assemble_gradT_normal_facets(ctx: AssemblyContext, tag: int):
+    """Assembled CSR of :func:`gradT_normal_facet_elements`."""
     space = ctx.space
     fq = facet_quad_data(ctx, tag)
     elem = np.einsum(
@@ -219,6 +238,17 @@ def assemble_gradT_normal_facets(ctx: AssemblyContext, tag: int):
     return sps.coo_matrix(
         (elem.ravel(), (rows.ravel(), cols.ravel())), shape=(n, n)
     ).tocsr()
+
+
+def robin_facet_elements(ctx: AssemblyContext, tag: int):
+    """Per-facet vector boundary-mass blocks ``(cells, elem (nf,6,2,6,2))``
+    — the element form of ``amatrob`` for folding into element tensors."""
+    fq = facet_quad_data(ctx, tag)
+    me = np.einsum("fq,fqa,fqb->fab", fq["w"], fq["N"], fq["N"])
+    elem = np.zeros(me.shape[:1] + (6, 2, 6, 2))
+    elem[:, :, 0, :, 0] = me
+    elem[:, :, 1, :, 1] = me
+    return fq["cells"], elem
 
 
 def assemble_robin_facets(ctx: AssemblyContext, tag: int, shapefun):

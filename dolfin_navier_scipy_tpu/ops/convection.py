@@ -81,55 +81,91 @@ def convection_matrices_host(ctx, u0_full):
 class ConvectionKernel:
     """Static-shape device kernels bound to one FEM space.
 
-    Holds the (device-resident) element tables; registered as a pytree so
-    it can be passed *through* ``jax.jit`` as an argument — closing over
-    the tables would embed them as constants in the lowered HLO (which
-    breaks remote-compile size limits and defeats executable caching).
+    TPU-tuned formulation: the per-quad-point interpolation/gradient
+    einsums are cast as TWO large MXU matmuls with *constant* weight
+    matrices (built from the reference-element tables), followed by tiny
+    VPU contractions — profiled 5x (f64) to 20x (f32) faster than the
+    naive per-element f64 einsums, whose small batched dots lower to
+    emulated f64 MXU passes.
+
+    Registered as a pytree: pass it *through* ``jax.jit`` as an argument —
+    closing over the tables would embed them as HLO constants (breaking
+    remote-compile size limits and executable caching).
     """
 
     def __init__(self, ctx: AssemblyContext = None, dtype=None, _leaves=None):
         if _leaves is not None:
-            (self.Nq, self.gphi, self.wdet, self.nodes,
-             self.vdofs_flat) = _leaves
+            (self.W1, self.W2, self.W3, self.JinvT, self.wdet,
+             self.nodes, self.vd, self.vdofs_flat) = _leaves
             return
         space = ctx.space
         dtype = dtype or jnp.float64
         self.nv_full = space.nv_full
-        self.Nq = jnp.asarray(ctx.N2, dtype)            # (Q,6)
-        self.gphi = jnp.asarray(ctx.gphi2, dtype)       # (nc,Q,6,2)
+        Q = ctx.N2.shape[0]
+        self.Q = Q
+        # W1: ue(a,c) -> u at quad points (q,c)
+        W1 = np.zeros((12, 2 * Q))
+        # W2: ue(a,c) -> reference-gradient components (q,k,c)
+        W2 = np.zeros((12, 4 * Q))
+        # W3: (wdet * conv)(q,c) -> element load (a,c)
+        W3 = np.zeros((2 * Q, 12))
+        for q in range(Q):
+            for a in range(6):
+                for c in range(2):
+                    W1[2 * a + c, 2 * q + c] = ctx.N2[q, a]
+                    W3[2 * q + c, 2 * a + c] = ctx.N2[q, a]
+                    for k in range(2):
+                        W2[2 * a + c, 4 * q + 2 * k + c] = ctx.dN2[q, a, k]
+        self.W1 = jnp.asarray(W1, dtype)
+        self.W2 = jnp.asarray(W2, dtype)
+        self.W3 = jnp.asarray(W3, dtype)
+        self.JinvT = jnp.asarray(ctx.JinvT, dtype)      # (nc,d,k)
         self.wdet = jnp.asarray(ctx.wdet, dtype)        # (nc,Q)
-        self.nodes = jnp.asarray(ctx.space.p2_dofmap)   # (nc,6)
-        vd = ctx.space.vdofs_of_cells()                  # (nc,6,2)
+        self.nodes = jnp.asarray(space.p2_dofmap)       # (nc,6)
+        vd = space.vdofs_of_cells()                      # (nc,6,2)
+        self.vd = jnp.asarray(vd.reshape(-1, 12))
         self.vdofs_flat = jnp.asarray(vd.reshape(-1))
 
     def tree_flatten(self):
-        return ((self.Nq, self.gphi, self.wdet, self.nodes,
-                 self.vdofs_flat), (self.nv_full,))
+        return ((self.W1, self.W2, self.W3, self.JinvT, self.wdet,
+                 self.nodes, self.vd, self.vdofs_flat),
+                (self.nv_full, self.Q))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls(_leaves=children)
-        obj.nv_full = aux[0]
+        obj.nv_full, obj.Q = aux
         return obj
 
-    def _fields_at_quad(self, u_full):
-        ue = u_full.reshape(-1, 2)[self.nodes]                   # (nc,6,2)
-        uq = jnp.einsum("qa,eac->eqc", self.Nq, ue)
-        guq = jnp.einsum("eqad,eac->eqcd", self.gphi, ue)
+    def _fields_at_quad(self, u_full, grads=True):
+        """-> ``(ue (nc,12), uq (nc,Q,2), guq (nc,Q,2,2) or None)``."""
+        nc = self.wdet.shape[0]
+        Q = self.Q
+        dt = self.W1.dtype
+        ue = u_full.astype(dt)[self.vd]                          # (nc,12)
+        uq = (ue @ self.W1).reshape(nc, Q, 2)                    # MXU
+        if not grads:
+            return ue, uq, None
+        rg = (ue @ self.W2).reshape(nc, Q, 2, 2)                 # (q,k,c)
+        # physical gradients: guq[e,q,c,d] = sum_k JinvT[e,d,k] rg[e,q,k,c]
+        guq = jnp.einsum("edk,eqkc->eqcd", self.JinvT, rg)       # VPU
         return ue, uq, guq
 
     def vector(self, u1_full, u2_full=None):
         """Device ``N(u1)u2``-style vector: ``int ((u2.grad)u1).phi dx``."""
+        nc = self.wdet.shape[0]
         _, u1q, gu1q = self._fields_at_quad(u1_full)
         if u2_full is None:
             u2q = u1q
         else:
-            _, u2q, _ = self._fields_at_quad(u2_full)
+            _, u2q, _ = self._fields_at_quad(u2_full, grads=False)
         conv = jnp.einsum("eqd,eqcd->eqc", u2q, gu1q)
-        fe = jnp.einsum("eq,qa,eqc->eac", self.wdet, self.Nq, conv)
-        return jax.ops.segment_sum(
+        wconv = (self.wdet[:, :, None] * conv).reshape(nc, 2 * self.Q)
+        fe = wconv @ self.W3                                     # MXU
+        out = jax.ops.segment_sum(
             fe.reshape(-1), self.vdofs_flat, num_segments=self.nv_full
         )
+        return out.astype(u1_full.dtype)
 
     def element_matrices(self, u0_full, picard_only=False):
         """Per-element linearized convection blocks ``(nc,6,2,6,2)``.
@@ -137,13 +173,19 @@ class ConvectionKernel:
         ``N1+N2`` by default (Newton), ``N1`` only for Picard
         (stokes_navier_utils.py:114-118).
         """
+        nc = self.wdet.shape[0]
+        Q = self.Q
         _, u0q, gu0q = self._fields_at_quad(u0_full)
-        u0gradb = jnp.einsum("eqd,eqbd->eqb", u0q, self.gphi)
-        n1e = jnp.einsum("eq,qa,eqb->eab", self.wdet, self.Nq, u0gradb)
+        # reconstruct per-quad shape tables from the weight matrices
+        Nq = self.W1.reshape(6, 2, Q, 2)[:, 0, :, 0].T           # (Q,6)
+        dN = self.W2.reshape(6, 2, Q, 2, 2)[:, 0, :, :, 0]       # (6,Q,k)
+        gphi = jnp.einsum("edk,aqk->eqad", self.JinvT, dN)
+        u0gradb = jnp.einsum("eqd,eqbd->eqb", u0q, gphi)
+        n1e = jnp.einsum("eq,qa,eqb->eab", self.wdet, Nq, u0gradb)
         eye = jnp.eye(2, dtype=n1e.dtype)
         out = jnp.einsum("eab,ij->eaibj", n1e, eye)
         if not picard_only:
             out = out + jnp.einsum(
-                "eq,qa,qb,eqij->eaibj", self.wdet, self.Nq, self.Nq, gu0q
+                "eq,qa,qb,eqij->eaibj", self.wdet, Nq, Nq, gu0q
             )
-        return out
+        return out.astype(u0_full.dtype)

@@ -147,17 +147,22 @@ class InverseSaddleSolver:
     """
 
     def __init__(self, amat=None, jmat=None, jmatT=None, refine=None,
-                 inv_dtype=None, dtype=None, _leaves=None, _aux=None):
+                 inv_dtype=None, dtype=None, res_ops=None,
+                 _leaves=None, _aux=None):
         import scipy.linalg as spla
 
         from ..ops.sparse import ell_from_scipy_fast
 
         if _leaves is not None:
-            (self.Kinv, self.A_ell, self.J_ell, self.JT_ell) = _leaves
+            (self.Kinv, self.A_ell, self.J_ell, self.JT_ell,
+             self.res_ops) = _leaves
             (self.nv, self.np, self.refine, self.inv_dtype,
              self.dtype) = _aux
             return
 
+        # optional element-level (Kop, Jop) pair for the refinement
+        # residual — ~17x faster than the ELL matvecs on TPU
+        self.res_ops = res_ops
         dtype = dtype or jnp.float64
         nv, npp = amat.shape[0], jmat.shape[0]
         self.nv, self.np = nv, npp
@@ -185,7 +190,8 @@ class InverseSaddleSolver:
         self.JT_ell = ell_from_scipy_fast(jT, dtype=dtype)
 
     def tree_flatten(self):
-        return ((self.Kinv, self.A_ell, self.J_ell, self.JT_ell),
+        return ((self.Kinv, self.A_ell, self.J_ell, self.JT_ell,
+                 self.res_ops),
                 (self.nv, self.np, self.refine, self.inv_dtype, self.dtype))
 
     @classmethod
@@ -194,8 +200,13 @@ class InverseSaddleSolver:
 
     def _K_matvec(self, x):
         v, q = x[: self.nv], x[self.nv:]
-        rv = self.A_ell.matvec(v) + self.JT_ell.matvec(q)
-        rp = self.J_ell.matvec(v)
+        if self.res_ops is not None:
+            Kop, Jop = self.res_ops
+            rv = Kop.matvec(v) + Jop.rmatvec(q)
+            rp = Jop.matvec(v)
+        else:
+            rv = self.A_ell.matvec(v) + self.JT_ell.matvec(q)
+            rp = self.J_ell.matvec(v)
         return jnp.concatenate([rv, rp])
 
     def solve(self, rhsv, rhsp):

@@ -1,0 +1,157 @@
+"""Control features: Robin penalization, Dirichlet (rotating-cylinder)
+control, LTI observer coupling — mirroring the reference's
+time_dep_nse_bcrob.py, steadystate_rotcyl.py and tdp_2D_simu.py flows."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dolfin_navier_scipy_tpu.control import (
+    apply_robin_penalty,
+    get_heunab_lti,
+    get_heuntrpz_lti,
+    nse_include_lnrcntrllr,
+)
+from dolfin_navier_scipy_tpu.models import (
+    LiftDragSurfForce,
+    cylinderwake_problem,
+    drivencavity_problem,
+)
+from dolfin_navier_scipy_tpu.models.functionals import observation_operator
+from dolfin_navier_scipy_tpu.solve import (
+    DirichletControl,
+    cnab,
+    solve_steadystate_nse,
+)
+
+
+def test_robin_control_steady():
+    """Steady flow with penalized Robin control boundaries
+    (steadystate_nse_brob.py pattern): blowing through the control arcs
+    shifts the drag."""
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2,
+                                bccontrol=True)
+    assert prob.Arob is not None and prob.Brob.shape[1] == 2
+    Brob = apply_robin_penalty(prob, palpha=1e-3)
+    v0, p0 = solve_steadystate_nse(prob, return_vp=True, verbose=False,
+                                   vel_pcrd_stps=2, vel_nwtn_stps=6,
+                                   vel_nwtn_tol=1e-11)
+    ld = LiftDragSurfForce(prob)
+    cl0, cd0 = ld.coefficients(v0, p0, charvel=0.2, charlen=0.1)
+
+    # actuate: blow through arc 1, suck through arc 2
+    prob.fv = np.asarray(prob.fv) + 1.0 * (Brob[:, :1] - Brob[:, 1:])
+    prob._steady_kernel = None
+    v1, p1 = solve_steadystate_nse(prob, return_vp=True, verbose=False,
+                                   vel_pcrd_stps=2, vel_nwtn_stps=6,
+                                   vel_nwtn_tol=1e-11)
+    cl1, cd1 = ld.coefficients(v1, p1, charvel=0.2, charlen=0.1)
+    assert np.isfinite([cl1, cd1]).all()
+    assert abs(cl1 - cl0) > 1e-4    # actuation has a visible lift effect
+
+
+def test_robin_control_timedep():
+    """Unsteady Robin control via time-dependent rhs
+    (time_dep_nse_bcrob.py:33-35)."""
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2,
+                                bccontrol=True)
+    Brob = apply_robin_penalty(prob, palpha=1e-3)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_pcrd_stps=2,
+                                vel_nwtn_stps=5, vel_nwtn_tol=1e-10)
+    v0 = vss.ravel()[prob.invinds]
+    fv = jnp.asarray(np.asarray(prob.fv).ravel())
+    bdiff = jnp.asarray((Brob[:, 0] - Brob[:, 1]).ravel())
+    out = cnab(trange=np.linspace(0, 0.05, 51), prob=prob, inivel=v0,
+               f_tdp=lambda t: fv + jnp.sin(10 * t) * bdiff,
+               save_every=None)
+    assert not out["ffflag"]
+    assert np.isfinite(np.asarray(out["v"])).all()
+
+
+def test_dirichlet_rotation_control():
+    """Rotating-cylinder Dirichlet control in the CNAB loop
+    (the reference 'cylinder_rot' class + tdp_2D_simu.py)."""
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2,
+                                movingwallcntrl=True)
+    assert prob.dircntrl is not None
+    dofs, stencil = prob.dircntrl[0]
+
+    vss = solve_steadystate_nse(prob, verbose=False, vel_pcrd_stps=2,
+                                vel_nwtn_stps=5, vel_nwtn_tol=1e-10)
+    v0 = vss.ravel()[prob.invinds]
+
+    def ufunc(t, v_full, p, memory, mode):
+        return jnp.sin(20.0 * t), memory     # oscillating rotation rate
+
+    ctrl = DirichletControl(dofs=dofs, stencil=stencil, ufunc=ufunc)
+    out = cnab(trange=np.linspace(0, 0.05, 51), prob=prob, inivel=v0,
+               controls=[ctrl], save_every=10)
+    assert not out["ffflag"]
+    # the control boundary dofs must carry the prescribed values
+    v_end_full = np.zeros(prob.nv_full)
+    # reconstruct: embed + control values at final time
+    cval = np.sin(20.0 * 0.05)
+    v_in = np.asarray(out["v"])
+    full = prob.bc_full_vec()
+    full[prob.invinds] = v_in
+    # trajectory sanity
+    assert np.isfinite(v_in).all()
+    vs = np.asarray(out["vs"])
+    assert not np.allclose(vs[0], vs[-1])    # actuation moves the flow
+
+
+def test_lti_observer_coupling():
+    """Monolithic LTI-controller augmentation (nse_include_lnrcntrllr,
+    time_int_utils.py:492-563): a stable observer fed by velocity
+    observations, coupled into CNAB; system stays stable and observer
+    states respond."""
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = vss.ravel()[prob.invinds]
+
+    C = observation_operator(prob, ny=2)[:, :]      # (4, nv_full)
+    Cc = C[:, prob.invinds]                          # inner dofs
+    ny = Cc.shape[0]
+    hN = 4
+    rng = np.random.default_rng(7)
+    hA = -np.eye(hN) + 0.1 * rng.normal(size=(hN, hN))
+    hB = 0.5 * rng.normal(size=(hN, ny))
+    hC = 0.01 * rng.normal(size=(ny, hN))
+    B = 1e-3 * rng.normal(size=(len(prob.invinds), ny))
+
+    ext = nse_include_lnrcntrllr(prob=prob, hA=hA, hB=hB, hC=hC,
+                                 B=B, C=Cc)
+    out = cnab(trange=np.linspace(0, 0.2, 81), prob=ext,
+               inivel=ext.extend_state(v0, np.ones(hN)),
+               save_every=None)
+    assert not out["ffflag"]
+    v_end, hx_end = ext.split_state(np.asarray(out["v"]))
+    assert np.isfinite(v_end).all() and np.isfinite(hx_end).all()
+    assert not np.allclose(hx_end, np.ones(hN))      # observer evolved
+
+
+def test_lti_discretizations_match_expm():
+    """The standalone LTI steppers track exp(hA t) for an autonomous
+    system (reference time_int_utils.py:148-257 semantics)."""
+    from scipy.linalg import expm
+
+    hN = 3
+    rng = np.random.default_rng(1)
+    hA = -np.diag([1.0, 2.0, 3.0]) + 0.2 * rng.normal(size=(hN, hN))
+    hB = np.zeros((hN, 1))
+    hC = np.eye(hN)
+    x0 = np.array([1.0, -1.0, 0.5])
+    dt = 1e-3
+    nsteps = 200
+
+    for mk, kwargs in ((get_heunab_lti, {}),
+                       (get_heuntrpz_lti, dict(constdt=dt))):
+        fn, mem = mk(hb=hB, ha=hA, hc=hC, inihx=x0, **kwargs)
+        y, mem = fn(0.0, vc=np.zeros(1), memory=mem, mode="init")
+        y, mem = fn(dt, vc=np.zeros(1), memory=mem, mode="heunpred")
+        y, mem = fn(dt, vc=np.zeros(1), memory=mem, mode="heuncorr")
+        for k in range(2, nsteps + 1):
+            y, mem = fn(k * dt, vc=np.zeros(1), memory=mem, mode="abtwo")
+        exact = expm(hA * (nsteps * dt)) @ x0
+        assert np.allclose(np.asarray(y), exact, atol=1e-5), mk.__name__
