@@ -26,18 +26,33 @@ def build():
     return prob, dt
 
 
-def device_steps_per_sec(prob, dt, nsteps=400, refine=2):
+def device_steps_per_sec(prob, dt, nsteps=1500, mode="fast"):
+    """One CNAB step per scan iteration.
+
+    ``fast``: f32 kernels, no refinement (production-CFD precision);
+    ``accurate``: f64 kernels + f64 iterative refinement of the f32
+    inverse (matches the f64 LU trajectory to ~1e-11).
+    Returns ``(steps_per_sec, final_v)``.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    from dolfin_navier_scipy_tpu.ops.convection import ConvectionKernel
     from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
 
-    ops = _build_ops(prob, dt, theta=0.5, refine=refine)
+    if mode == "fast":
+        ops = _build_ops(prob, dt, theta=0.5, refine=0)
+        aff = prob.affine_ops(jnp.float32)
+        kern = ConvectionKernel(prob.ctx, dtype=jnp.float32)
+        Eop = aff.view("ma", cm=1.0, ca=-0.5 * dt)
+    else:
+        ops = _build_ops(prob, dt, theta=0.5, refine=2)
+        kern = prob.conv_kernel
+        Eop = ops.E
     nin = ops.nin
     bundle = dict(
-        ops=ops,
-        kern=prob.conv_kernel,
+        ops=ops, E=Eop, kern=kern,
         invinds=jnp.asarray(prob.invinds),
         v_bc=jnp.asarray(prob.bc_full_vec()),
         fv=jnp.asarray(np.asarray(prob.fv).ravel()),
@@ -48,7 +63,7 @@ def device_steps_per_sec(prob, dt, nsteps=400, refine=2):
         v, nfc_o = carry
         v_full = b["v_bc"].at[b["invinds"]].set(v)
         nfc_c = -b["kern"].vector(v_full)[b["invinds"]]
-        rhs = (b["ops"].M.matvec(v) - 0.5 * dt * b["ops"].A.matvec(v)
+        rhs = (b["E"].matvec(v)
                + 0.5 * dt * (3 * nfc_c - nfc_o) + dt * b["fv"])
         sol = b["ops"].solver.solve(rhs, b["fp"])
         return (sol[:nin], nfc_c), None
@@ -68,7 +83,7 @@ def device_steps_per_sec(prob, dt, nsteps=400, refine=2):
     v.block_until_ready()
     el = time.perf_counter() - t0
     assert np.isfinite(np.asarray(v)).all()
-    return nsteps / el
+    return nsteps / el, np.asarray(v)
 
 
 def baseline_steps_per_sec(prob, dt, nsteps=60):
@@ -118,14 +133,21 @@ def baseline_steps_per_sec(prob, dt, nsteps=60):
 def main():
     t_setup = time.time()
     prob, dt = build()
-    dev = device_steps_per_sec(prob, dt)
+    dev, v_fast = device_steps_per_sec(prob, dt, mode="fast")
+    dev_acc, v_acc = device_steps_per_sec(prob, dt, mode="accurate")
     base = baseline_steps_per_sec(prob, dt)
+    # cross-precision trajectory agreement after 1500 steps
+    denom = max(float(np.linalg.norm(v_acc)), 1e-30)
+    drift = float(np.linalg.norm(v_fast - v_acc)) / denom
     print(json.dumps({
         "metric": "cnab_steps_per_sec_cylwake2d",
         "value": round(dev, 2),
         "unit": "steps/s",
         "vs_baseline": round(dev / base, 2),
         "baseline_scipy_splu": round(base, 2),
+        "accurate_mode_steps_per_sec": round(dev_acc, 2),
+        "accurate_vs_baseline": round(dev_acc / base, 2),
+        "fast_vs_accurate_rel_drift": f"{drift:.2e}",
         "dofs": int(len(prob.invinds) + prob.np_cond),
         "setup_s": round(time.time() - t_setup, 1),
     }))

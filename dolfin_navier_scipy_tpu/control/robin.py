@@ -35,4 +35,5 @@ def apply_robin_penalty(prob, palpha):
             np.add.at(Ael, cells,
                       1.0 / palpha * elem.reshape(len(cells), 12, 12))
         prob._element_ops = None
+        prob._affine_ops = {}
     return 1.0 / palpha * prob.Brob

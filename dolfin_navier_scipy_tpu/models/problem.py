@@ -74,12 +74,14 @@ class NSEProblem:
     # (stokes_navier_utils.py:259-265)
     dircntrl: Optional[List] = None
     elem_tensors: Optional[Dict] = None      # per-element M/A/J blocks
+    gradvsymmtrc: bool = True
 
     def __post_init__(self):
         self._conv_kernel = None
         self._mc_ell = None
         self._steady_kernel = None
         self._element_ops = None
+        self._affine_ops = {}
 
     # -- sizes ---------------------------------------------------------------
     @property
@@ -119,6 +121,20 @@ class NSEProblem:
 
             self._element_ops = build_element_ops(self)
         return self._element_ops
+
+    def affine_ops(self, dtype=None):
+        """Affine-factorized fused matvec bundle (the fast path)."""
+        import jax.numpy as jnp
+
+        from ..ops.affine import AffineVectorOps
+
+        if self.elem_tensors is None:
+            return None
+        dtype = dtype or jnp.float64
+        key = str(dtype)
+        if key not in self._affine_ops:
+            self._affine_ops[key] = AffineVectorOps.build(self, dtype=dtype)
+        return self._affine_ops[key]
 
     # -- helpers ----------------------------------------------------------------
     def bc_full_vec(self) -> np.ndarray:
@@ -224,6 +240,7 @@ def build_problem(
         fv_body_full=fv_full,
         fp_body_full=fp_full,
         elem_tensors=mats.pop("_elem", None),
+        gradvsymmtrc=gradvsymmtrc,
     )
     if dircntrl:
         prob.dircntrl = dircntrl

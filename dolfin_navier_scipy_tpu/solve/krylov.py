@@ -1,0 +1,77 @@
+"""Krylov saddle-point solves.
+
+Parity with the reference's optional krypy-GMRES path
+(``lau.solve_sadpnt_smw(krylov='gmres', krpslvprms=..., krplsprms=...)``,
+solve_nse docstring stokes_navier_utils.py:651-664) plus a jittable
+device GMRES for scan bodies.  ``KrylovCounter`` mirrors
+``SpslaKrylovCounter`` (residual-callback statistics,
+stokes_navier_utils.py:724,:861-874).
+"""
+
+import numpy as np
+import scipy.sparse as sps
+import scipy.sparse.linalg as spsla
+
+import jax
+import jax.numpy as jnp
+
+
+class KrylovCounter:
+    """Residual-callback counter for scipy Krylov solvers."""
+
+    def __init__(self, store=None):
+        self.niter = 0
+        self.resnorms = []
+        self.store = store
+
+    def __call__(self, res):
+        self.niter += 1
+        r = float(np.linalg.norm(res)) if np.ndim(res) else float(res)
+        self.resnorms.append(r)
+        if self.store is not None:
+            self.store.append(r)
+
+
+def solve_sadpnt_krylov(amat=None, jmat=None, jmatT=None, rhsv=None,
+                        rhsp=None, krpslvprms=None, precond=None):
+    """Host GMRES on the saddle system with optional preconditioner.
+
+    ``krpslvprms`` keys (matching the reference's kwargs bag):
+    ``tol``, ``maxiter``, ``x0``, ``restart``, ``convstatsl`` (a list that
+    collects per-iteration residual norms).
+    """
+    p = dict(krpslvprms or {})
+    nv = amat.shape[0]
+    npp = jmat.shape[0]
+    jT = jmat.T if jmatT is None else jmatT
+    K = sps.vstack([
+        sps.hstack([sps.csr_matrix(amat), sps.csr_matrix(jT)]),
+        sps.hstack([sps.csr_matrix(jmat), sps.csr_matrix((npp, npp))]),
+    ]).tocsr()
+    if rhsp is None:
+        rhsp = np.zeros((npp,))
+    b = np.concatenate([np.asarray(rhsv).ravel(), np.asarray(rhsp).ravel()])
+    counter = KrylovCounter(store=p.get("convstatsl"))
+    x, info = spsla.gmres(
+        K, b, x0=p.get("x0"),
+        rtol=p.get("tol", 1e-10), atol=0.0,
+        restart=p.get("restart", 150),
+        maxiter=p.get("maxiter", 200),
+        M=precond, callback=counter, callback_type="pr_norm",
+    )
+    if info != 0:
+        import warnings
+
+        warnings.warn(f"gmres: info={info} (not converged)")
+    return x.reshape(-1, 1), counter
+
+
+def device_pgmres(matvec, b, precond, x0=None, tol=1e-12, restart=20,
+                  maxiter=3):
+    """Jittable right-preconditioned GMRES (scan-safe) — thin wrapper
+    over ``jax.scipy.sparse.linalg.gmres``."""
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        matvec, b, x0=b * 0 if x0 is None else x0, M=precond,
+        tol=tol, atol=0.0, restart=restart, maxiter=maxiter,
+        solve_method="batched")
+    return x

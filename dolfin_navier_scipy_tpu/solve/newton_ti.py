@@ -93,12 +93,17 @@ def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
 
     def sysmatvec(elem, x):
         v, q = x[:nin], x[nin:]
-        rv = (M.matvec(v) + 0.5 * dt * A.matvec(v)
-              + 0.5 * dt * _n_matvec(b, elem, v)
-              + solver.JT_ell.matvec(q))
+        if solver.res_ops is not None:
+            Kop, Jop = solver.res_ops
+            rv = Kop.matvec(v) + Jop.rmatvec(q)
+            rp = Jop.matvec(v)
+        else:
+            rv = (M.matvec(v) + 0.5 * dt * A.matvec(v)
+                  + solver.JT_ell.matvec(q))
+            rp = solver.J_ell.matvec(v)
+        rv = rv + 0.5 * dt * _n_matvec(b, elem, v)
         if umat.shape[1]:
             rv = rv - 0.5 * dt * (umat @ (vmat @ v))
-        rp = solver.J_ell.matvec(v)
         return jnp.concatenate([rv, rp])
 
     def precond(x):
@@ -109,8 +114,7 @@ def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
     def step(carry, lin_n):
         v_old, x_prev, elem_c, rhs_c = carry
         elem_n, rhs_n = _conv_data(b, lin_n, picard)
-        rhsv = (M.matvec(v_old)
-                - 0.5 * dt * A.matvec(v_old)
+        rhsv = (ops.e_matvec(v_old)
                 - 0.5 * dt * _n_matvec(b, elem_c, v_old)
                 + 0.5 * dt * (rhs_c + rhs_n))
         if umat.shape[1]:

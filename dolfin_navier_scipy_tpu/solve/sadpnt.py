@@ -104,12 +104,24 @@ class SaddleSolver:
 
 
 def solve_sadpnt(amat=None, jmat=None, jmatT=None, rhsv=None, rhsp=None,
-                 umat=None, vmat=None, return_solver=False):
+                 umat=None, vmat=None, return_solver=False,
+                 krylov=None, krpslvprms=None, krplsprms=None):
     """Functional one-shot API mirroring ``lau.solve_sadpnt_smw``.
 
     Returns the stacked raw solution ``(nv+np, 1)`` (numpy); with
     ``return_solver=True`` also the reusable :class:`SaddleSolver`.
+    ``krylov='gmres'`` routes to the Krylov path with the reference's
+    ``krpslvprms`` kwargs bag (tol/maxiter/x0/convstatsl).
     """
+    if krylov:
+        from .krylov import solve_sadpnt_krylov
+
+        if umat is not None:
+            raise NotImplementedError("SMW updates with the Krylov path")
+        x, _ = solve_sadpnt_krylov(amat=amat, jmat=jmat, jmatT=jmatT,
+                                   rhsv=rhsv, rhsp=rhsp,
+                                   krpslvprms=krpslvprms)
+        return x
     solver = SaddleSolver(amat, jmat, jmatT)
     if rhsp is None:
         rhsp = jnp.zeros((solver.np,))

@@ -60,22 +60,29 @@ class DirichletControl:
 class TimeIntOps:
     """Device operator bundle (pytree) for the semi-explicit integrators."""
 
-    def __init__(self, solver, M, A, dt, theta):
+    def __init__(self, solver, M, A, dt, theta, E=None):
         self.solver = solver
         self.M = M
         self.A = A
+        self.E = E          # fused explicit operator M - theta*dt*A
         self.dt = dt
         self.theta = theta
         self.nin = M.shape[0]
 
+    def e_matvec(self, v):
+        """``(M - theta dt A) @ v`` — one fused pass when available."""
+        if self.E is not None:
+            return self.E.matvec(v)
+        return self.M.matvec(v) - self.theta * self.dt * self.A.matvec(v)
+
     def tree_flatten(self):
-        return ((self.solver, self.M, self.A),
+        return ((self.solver, self.M, self.A, self.E),
                 (self.dt, self.theta, self.nin))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.solver, obj.M, obj.A = children
+        obj.solver, obj.M, obj.A, obj.E = children
         obj.dt, obj.theta, obj.nin = aux
         return obj
 
@@ -84,15 +91,18 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None):
     import scipy.sparse as sps
 
     coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
-    eops = getattr(prob, "element_ops", lambda: None)()
-    if eops is not None:
-        # element-level ops: ~17x faster matvecs on TPU than padded-ELL
-        Mop, Aop, Jop = eops
-        Kop = Mop.axpy(theta * dt, Aop)
+    aff = getattr(prob, "affine_ops", lambda: None)()
+    if aff is not None:
+        # affine-factorized fused matvecs: constant-weight MXU matmuls
+        # + per-element 2x2 geometry contractions (the fast path)
+        Mop, Aop, Jop = aff.view("m"), aff.view("a"), aff.view("j")
+        Kop = aff.view("ma", cm=1.0, ca=theta * dt)
+        Eop = aff.view("ma", cm=1.0, ca=-theta * dt)
         solver = InverseSaddleSolver(coeff, prob.Jc, prob.JTc,
                                      inv_dtype=inv_dtype, refine=refine,
                                      res_ops=(Kop, Jop))
-        return TimeIntOps(solver=solver, M=Mop, A=Aop, dt=dt, theta=theta)
+        return TimeIntOps(solver=solver, M=Mop, A=Aop, E=Eop,
+                          dt=dt, theta=theta)
     solver = InverseSaddleSolver(coeff, prob.Jc, prob.JTc,
                                  inv_dtype=inv_dtype, refine=refine)
     return TimeIntOps(solver=solver, M=ell_from_scipy_fast(prob.Mc),
@@ -330,7 +340,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         fv_n = f_tdp(t)
         dfv_n, drm_n = dynamic_rhs(t, vc=c["v"], memory=c["drm"],
                                    mode="abtwo")
-        rhs = (ops_.M.matvec(c["v"]) - 0.5 * dt * ops_.A.matvec(c["v"])
+        rhs = (ops_.e_matvec(c["v"])
                - (mbc_n - c["mbc"])
                + 0.5 * dt * (3 * nfc_c - nfc_o)
                + 0.5 * dt * (c["fv"] + fv_n + bfv_n + c["bfv"]

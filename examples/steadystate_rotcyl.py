@@ -1,0 +1,62 @@
+"""Freely rotating cylinder: find the zero-torque rotation rate omega*
+(Richter et al. rot2d-1) — twin of tests/steadystate_rotcyl.py.
+
+The reference's published values (their lvl3 gmsh mesh):
+omega* = 0.00126293, Cl = 0.0047141, Cd = 5.579558, DeltaP = 0.117520.
+On the native meshes omega* is sensitive to the polygonal cylinder
+resolution; increase --meshlvl for tighter values.
+"""
+
+import argparse
+
+import numpy as np
+from scipy.optimize import brentq
+
+from dolfin_navier_scipy_tpu.models import (
+    LiftDragSurfForce,
+    cylinderwake_problem,
+    pressure_drop,
+)
+from dolfin_navier_scipy_tpu.solve import solve_steadystate_nse
+from dolfin_navier_scipy_tpu.utils.io import Timer
+
+
+def solve_at_omega(omega, meshlvl=1, nu=1e-3, charvel=0.2,
+                   vel_start=None):
+    prob = cylinderwake_problem(level=meshlvl, nu=nu, charvel=charvel,
+                                rotcntrl_omega=omega)
+    (v, p) = solve_steadystate_nse(
+        prob, return_vp=True, verbose=False, vel_pcrd_stps=2,
+        vel_nwtn_stps=8, vel_nwtn_tol=1e-11, vel_start_nwtn=vel_start)
+    ld = LiftDragSurfForce(prob)
+    tq = ld.evatorque(v, p, center=(0.2, 0.2))
+    cl, cd = ld.coefficients(v, p, charvel=charvel, charlen=0.1)
+    return dict(prob=prob, v=v, p=p, torque=tq, cl=cl, cd=cd,
+                dp=pressure_drop(prob, p))
+
+
+def testit(meshlvl=1, nu=1e-3, charvel=0.2, bracket=(0.0, 0.02)):
+    cache = {}
+
+    def torque(om):
+        with Timer(f"steady solve at omega={om:.6f}"):
+            res = solve_at_omega(om, meshlvl=meshlvl, nu=nu,
+                                 charvel=charvel)
+        cache[om] = res
+        print(f"  omega={om:.6e}: torque={res['torque']:+.4e}")
+        return res["torque"]
+
+    omstar = brentq(torque, *bracket, xtol=1e-6, rtol=1e-4)
+    res = cache.get(omstar) or solve_at_omega(omstar, meshlvl=meshlvl,
+                                              nu=nu, charvel=charvel)
+    print(f"\nomega* = {omstar:.8f}   (reference lvl3: 0.00126293)")
+    print(f"Cl = {res['cl']:.7f}      (reference: 0.0047141)")
+    print(f"Cd = {res['cd']:.6f}      (reference: 5.579558)")
+    print(f"DeltaP = {res['dp']:.6f}  (reference: 0.117520)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--meshlvl", type=int, default=1)
+    args = ap.parse_args()
+    testit(meshlvl=args.meshlvl)

@@ -69,3 +69,32 @@ def test_conv_kernel_fast_formulation(prob):
         (elems.ravel(), (rows.ravel(), cols.ravel())),
         shape=(prob.nv_full, prob.nv_full)).tocsr()
     assert abs(dev - (N1 + N2)).max() < 1e-11
+
+
+def test_affine_ops_match_condensed(prob):
+    """Affine-factorized fused matvecs == condensed scipy matrices."""
+    aff = prob.affine_ops()
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=len(prob.invinds))
+    q = rng.normal(size=prob.np_cond)
+    assert np.allclose(np.asarray(aff.m_matvec(x)), prob.Mc @ x, atol=1e-12)
+    assert np.allclose(np.asarray(aff.a_matvec(x)), prob.Ac @ x, atol=1e-11)
+    assert np.allclose(np.asarray(aff.j_matvec(x)), prob.Jc @ x, atol=1e-12)
+    assert np.allclose(np.asarray(aff.jt_matvec(q)), prob.JTc @ q,
+                       atol=1e-12)
+    fused = np.asarray(aff.ma_matvec(x, 0.7, -0.3))
+    assert np.allclose(fused, 0.7 * (prob.Mc @ x) - 0.3 * (prob.Ac @ x),
+                       atol=1e-11)
+
+
+def test_affine_ops_with_robin():
+    from dolfin_navier_scipy_tpu.control import apply_robin_penalty
+
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2,
+                                bccontrol=True)
+    apply_robin_penalty(prob, palpha=1e-3)
+    aff = prob.affine_ops()
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=len(prob.invinds))
+    assert np.allclose(np.asarray(aff.a_matvec(x)), prob.Ac @ x,
+                       rtol=1e-10, atol=1e-8)
