@@ -20,8 +20,14 @@ from .reference import LOCAL_EDGES
 
 @dataclass
 class TaylorHoodSpace:
-    """P2 velocity / P1 pressure function spaces on a triangle mesh."""
+    """P2 velocity / P1 pressure function spaces on a triangle mesh.
 
+    Attribute names keep the P2/P1 convention (``p2_dofmap`` = velocity
+    node map, ``p1_dofmap`` = pressure node map) even in the sibling
+    Crouzeix-Raviart space, so all assembly/ops code is element-agnostic.
+    """
+
+    scheme = "TH"
     mesh: "object"
     # filled by __post_init__:
     p2_dofmap: np.ndarray = field(init=False)   # (nc, 6) P2 node ids
@@ -31,19 +37,17 @@ class TaylorHoodSpace:
     edge_to_node: dict = field(init=False)
 
     def __post_init__(self):
+        from .native import build_edges
+
         mesh = self.mesh
         cells = mesh.cells
         nc, nv = mesh.num_cells, mesh.num_verts
 
-        # unique edges -> midpoint nodes
-        all_edges = np.concatenate(
-            [np.sort(cells[:, LOCAL_EDGES[k]], axis=1) for k in range(3)],
-            axis=0,
-        )
-        uniq, inv = np.unique(all_edges, axis=0, return_inverse=True)
+        # unique edges -> midpoint nodes (native C++ compiler when built)
+        uniq, cell_edges, _ = build_edges(cells)
         n_edges = len(uniq)
         self.n_p2 = nv + n_edges
-        edge_nodes = nv + inv.reshape(3, nc).T  # (nc, 3)
+        edge_nodes = nv + cell_edges                 # (nc, 3)
 
         self.p2_dofmap = np.concatenate([cells, edge_nodes], axis=1)
         self.p1_dofmap = cells
@@ -117,5 +121,89 @@ class TaylorHoodSpace:
         v2 = np.asarray(v).reshape(-1, 2)
         for i, (c, rp) in enumerate(zip(cells_, ref)):
             N = shape_p2(rp[None, :])[0]  # (6,)
+            out[i] = N @ v2[self.p2_dofmap[c]]
+        return out
+
+
+@dataclass
+class CrouzeixRaviartSpace:
+    """CR1 velocity (edge-midpoint, nonconforming) / DG0 pressure.
+
+    The reference's ``scheme='CR'`` (problem_setups.py:818-820:
+    ``VectorFunctionSpace(mesh,'CR',1)`` + ``FunctionSpace(mesh,'DG',0)``).
+    Same attribute names as :class:`TaylorHoodSpace` so the assembly and
+    device-kernel machinery is element-agnostic: ``p2_dofmap`` holds the
+    (nc,3) velocity (edge) nodes, ``p1_dofmap`` the (nc,1) cell index.
+    """
+
+    scheme = "CR"
+    mesh: "object"
+    p2_dofmap: np.ndarray = field(init=False)
+    p1_dofmap: np.ndarray = field(init=False)
+    p2_coords: np.ndarray = field(init=False)
+    n_p2: int = field(init=False)
+    edge_to_node: dict = field(init=False)
+
+    def __post_init__(self):
+        from .native import build_edges
+
+        mesh = self.mesh
+        cells = mesh.cells
+        nc = mesh.num_cells
+        uniq, cell_edges, _ = build_edges(cells)
+        self.n_p2 = len(uniq)
+        self.p2_dofmap = cell_edges                     # (nc,3) edge nodes
+        self.p1_dofmap = np.arange(nc, dtype=np.int64)[:, None]
+        self.p2_coords = 0.5 * (mesh.verts[uniq[:, 0]]
+                                + mesh.verts[uniq[:, 1]])
+        self.edge_to_node = {tuple(e): i for i, e in enumerate(uniq.tolist())}
+
+    @property
+    def nv_full(self):
+        return 2 * self.n_p2
+
+    @property
+    def np_full(self):
+        return self.mesh.num_cells
+
+    def vdofs_of_cells(self):
+        nodes = self.p2_dofmap
+        return np.stack([2 * nodes, 2 * nodes + 1], axis=2)
+
+    def boundary_nodes(self, tag):
+        mesh = self.mesh
+        cells_, locs = mesh.tagged_facets(tag)
+        nodes = set()
+        for c, le in zip(cells_, locs):
+            a, b = mesh.cells[c, LOCAL_EDGES[le]]
+            nodes.add(self.edge_to_node[(min(a, b), max(a, b))])
+        return np.array(sorted(nodes), dtype=np.int64)
+
+    def dirichlet_dofs(self, tag, value_fn):
+        out = {}
+        for node in self.boundary_nodes(tag):
+            val = np.asarray(value_fn(self.p2_coords[node]))
+            out[2 * node] = float(val[0])
+            out[2 * node + 1] = float(val[1])
+        return out
+
+    def eval_pressure(self, p, points):
+        cells_, _ = self.mesh.locate(np.atleast_2d(points))
+        if np.any(cells_ < 0):
+            raise ValueError("point outside mesh")
+        return np.asarray(p).ravel()[cells_]
+
+    def eval_velocity(self, v, points):
+        from .reference import shape_cr
+
+        pts = np.atleast_2d(points)
+        cells_, bary = self.mesh.locate(pts)
+        if np.any(cells_ < 0):
+            raise ValueError("point outside mesh")
+        ref = np.stack([bary[:, 1], bary[:, 2]], axis=1)
+        out = np.zeros((len(pts), 2))
+        v2 = np.asarray(v).reshape(-1, 2)
+        for i, (c, rp) in enumerate(zip(cells_, ref)):
+            N = shape_cr(rp[None, :])[0]
             out[i] = N @ v2[self.p2_dofmap[c]]
         return out

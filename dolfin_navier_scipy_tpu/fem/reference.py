@@ -136,6 +136,33 @@ def dshape_p2(pts):
     return d
 
 
+def shape_cr(pts):
+    """Crouzeix-Raviart (nonconforming P1) shape functions -> ``(Q,3)``.
+
+    Node k sits at the midpoint of edge k (opposite vertex k):
+    ``N_k = 1 - 2 L_k``.
+    """
+    x, y = pts[:, 0], pts[:, 1]
+    l0, l1, l2 = 1 - x - y, x, y
+    return np.stack([1 - 2 * l0, 1 - 2 * l1, 1 - 2 * l2], axis=1)
+
+
+def dshape_cr(pts):
+    """CR reference gradients -> ``(Q,3,2)`` (constant)."""
+    q = len(pts)
+    d = np.array([[2.0, 2.0], [-2.0, 0.0], [0.0, -2.0]])
+    return np.broadcast_to(d, (q, 3, 2)).copy()
+
+
+def shape_dg0(pts):
+    """Piecewise-constant pressure -> ``(Q,1)``."""
+    return np.ones((len(pts), 1))
+
+
+def dshape_dg0(pts):
+    return np.zeros((len(pts), 1, 2))
+
+
 def edge_points_on_tri(local_edge: int, s):
     """Map edge parameters ``s in [0,1]`` to reference-triangle coords.
 

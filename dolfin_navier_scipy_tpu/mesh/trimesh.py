@@ -79,19 +79,11 @@ class TriMesh:
         ``local_edge`` indexes :data:`fem.reference.LOCAL_EDGES` of the
         owning cell. Edge vertex pairs are sorted ascending.
         """
-        from ..fem.reference import LOCAL_EDGES
+        from ..fem.native import boundary_facets, build_edges
 
-        c = self.cells
-        all_edges = np.concatenate(
-            [np.sort(c[:, LOCAL_EDGES[k]], axis=1) for k in range(3)], axis=0
-        )
-        owner_cell = np.tile(np.arange(self.num_cells), 3)
-        owner_loc = np.repeat(np.arange(3), self.num_cells)
-        uniq, first_idx, counts = np.unique(
-            all_edges, axis=0, return_index=True, return_counts=True
-        )
-        bnd = counts == 1
-        return uniq[bnd], owner_cell[first_idx[bnd]], owner_loc[first_idx[bnd]]
+        uniq, cell_edges, counts = build_edges(self.cells)
+        bcell, bloc, bedge = boundary_facets(cell_edges, counts)
+        return uniq[bedge], bcell, bloc
 
     def tagged_facets(self, tag: int):
         """Boundary facets carrying a physical-entity ``tag``.

@@ -162,9 +162,14 @@ def build_problem(
     scheme: str = "TH",
 ) -> NSEProblem:
     """Compile a mesh + geometry description into an :class:`NSEProblem`."""
-    if scheme != "TH":
-        raise NotImplementedError("only Taylor-Hood implemented so far")
-    space = TaylorHoodSpace(mesh)
+    if scheme == "TH":
+        space = TaylorHoodSpace(mesh)
+    elif scheme == "CR":
+        from ..fem.dofmap import CrouzeixRaviartSpace
+
+        space = CrouzeixRaviartSpace(mesh)
+    else:
+        raise NotImplementedError(f"scheme {scheme}")
     ctx = AssemblyContext(space)
 
     if Re is not None:

@@ -1,19 +1,22 @@
 """Affine-geometry-factorized operator application — the speed-of-light
-formulation for P2/P1 operators on straight triangles.
+formulation for P2/P1 (and CR/DG0) operators on straight triangles.
 
 On affine elements every FEM operator factorizes as
 ``sum_r geo_r[e] * (constant reference matrix)``: applying M/A/J/J^T
-reduces to a few LARGE constant-weight matmuls (MXU) plus tiny per-element
-2x2 geometry contractions (VPU) around one gather and one scatter.  No
-per-element operator tensors are stored at all; batched small f64 dots
-(which lower to slow emulated MXU passes) never appear.
+reduces to a few LARGE constant-weight matmuls (MXU) plus tiny unrolled
+per-element 2x2 geometry products (VPU) around one gather and one
+scatter.  Two TPU-specific tunings (both profiled on v5e):
 
-The same per-quad-point gradient pipeline as the convection kernel is
-reused: ``D[e,q,c,d] = d x_c / d x_d`` via ``xe @ W2`` then a JinvT
-contraction; fluxes are pulled back and contracted with ``W2^T``.
+* **element blocking**: the contraction dim of the constant matmuls is
+  only ``2*nvpc`` (= 12 for P2), wasting MXU lanes; packing BLK elements
+  per matmul row (``X (nc/BLK, BLK*12) @ kron(I_BLK, W)``) recovers ~44x
+  on emulated-f64 matmuls,
+* **no batched small einsums**: per-element 2x2 contractions are
+  unrolled into broadcast multiply-adds (batched (2,2) dots lower to
+  pathological emulated MXU passes in f64).
 
-Dirichlet condensation is realized by index masking exactly as in
-:mod:`.elementop` (trash row + zero-padded columns).
+Dirichlet condensation is realized by index masking (trash row +
+zero-padded columns), as in :mod:`.elementop`.
 """
 
 import numpy as np
@@ -23,52 +26,40 @@ import jax.numpy as jnp
 
 
 def _volume_a_elements(ctx, nu, gradvsymmtrc=True):
-    """Volume part of the stiffness element tensors (nc,12,12) — used to
+    """Volume part of the stiffness element tensors (nc,2n,2n) — used to
     split the assembled element tensors into volume + facet corrections."""
     nc = ctx.wdet.shape[0]
+    nvpc = ctx.N2.shape[1]
     K1 = np.einsum("eq,eqad,eqbd->eab", ctx.wdet, ctx.gphi2, ctx.gphi2)
-    Avec = np.zeros((nc, 6, 2, 6, 2))
+    Avec = np.zeros((nc, nvpc, 2, nvpc, 2))
     Avec[:, :, 0, :, 0] += K1
     Avec[:, :, 1, :, 1] += K1
     if gradvsymmtrc:
         Avec += np.einsum("eq,eqbi,eqaj->eaibj", ctx.wdet, ctx.gphi2,
                           ctx.gphi2)
-    return nu * Avec.reshape(nc, 12, 12)
+    return nu * Avec.reshape(nc, 2 * nvpc, 2 * nvpc)
+
+
+def _pad_rows(arr, nc_pad, fill=0):
+    pad = nc_pad - arr.shape[0]
+    if pad == 0:
+        return arr
+    padblock = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, padblock], axis=0)
 
 
 @jax.tree_util.register_pytree_node_class
 class AffineVectorOps:
-    """Fused device matvecs for (M, A, J, J^T) on the inner dofs.
+    """Fused device matvecs for (M, A, J, J^T) on the inner dofs."""
 
-    ``a_matvec`` implements the symmetrized-gradient stiffness
-    ``nu int (grad u + grad u^T) : grad v`` with the outflow/Robin facet
-    corrections applied through small per-facet element blocks
-    (negligible extra cost: tens of facets).
-    """
+    _leaf_names = ("W1blk", "W2blk", "W2Tblk", "MrefI2blk", "N1q", "JinvT",
+                   "wdet", "vdofs", "pdofs", "detJ", "fac_elem", "fac_vdofs")
+    _aux_names = ("nin", "npc", "Q", "nu", "nc", "blk", "nvpc", "pnpc",
+                  "sym")
 
-    def __init__(self, W1=None, W2=None, MrefI2=None, N1q=None, JinvT=None,
-                 wdet=None, vdofs=None, pdofs=None, detJ=None,
-                 fac_elem=None, fac_vdofs=None,
-                 nin=None, npc=None, Q=None, nu=None):
-        self.W1 = W1            # (12, 2Q) values interp (shared w/ conv)
-        self.W2 = W2            # (12, 4Q) reference gradients (q,k,c)
-        self.MrefI2 = MrefI2    # (12, 12) reference mass (x) I2
-        self.N1q = N1q          # (Q, 3) P1 values at quad pts
-        self.JinvT = JinvT      # (nc, d, k)
-        self.wdet = wdet        # (nc, Q)  (includes detJ)
-        self.detJ = detJ        # (nc,)
-        self.vdofs = vdofs      # (nc, 12) -> [0, nin]
-        self.pdofs = pdofs      # (nc, 3) -> [0, npc]
-        self.fac_elem = fac_elem    # (nf, 12, 12) facet corrections to A
-        self.fac_vdofs = fac_vdofs  # (nf, 12)
-        self.nin = nin
-        self.npc = npc
-        self.Q = Q
-        self.nu = nu
-
-    _leaf_names = ("W1", "W2", "MrefI2", "N1q", "JinvT", "wdet", "vdofs",
-                   "pdofs", "detJ", "fac_elem", "fac_vdofs")
-    _aux_names = ("nin", "npc", "Q", "nu")
+    def __init__(self, **kw):
+        for n in self._leaf_names + self._aux_names:
+            setattr(self, n, kw.get(n))
 
     def tree_flatten(self):
         return (tuple(getattr(self, n) for n in self._leaf_names),
@@ -89,10 +80,13 @@ class AffineVectorOps:
         ctx = prob.ctx
         space = prob.space
         Q = ctx.N2.shape[0]
-        W1 = np.zeros((12, 2 * Q))
-        W2 = np.zeros((12, 4 * Q))
+        nvpc = ctx.N2.shape[1]          # velocity nodes per cell
+        pnpc = ctx.N1.shape[1]          # pressure nodes per cell
+        nd = 2 * nvpc
+        W1 = np.zeros((nd, 2 * Q))
+        W2 = np.zeros((nd, 4 * Q))
         for q in range(Q):
-            for a in range(6):
+            for a in range(nvpc):
                 for c in range(2):
                     W1[2 * a + c, 2 * q + c] = ctx.N2[q, a]
                     for k in range(2):
@@ -103,7 +97,7 @@ class AffineVectorOps:
         nin = len(prob.invinds)
         full2in = np.full(prob.nv_full + 1, nin, dtype=np.int32)
         full2in[prob.invinds] = np.arange(nin, dtype=np.int32)
-        vd = space.vdofs_of_cells().reshape(-1, 12)
+        vd = space.vdofs_of_cells().reshape(-1, nd)
         vdofs = full2in[vd]
 
         npc = prob.np_cond
@@ -111,10 +105,8 @@ class AffineVectorOps:
         p_full2c[np.arange(npc)] = np.arange(npc, dtype=np.int32)
         pdofs = p_full2c[space.p1_dofmap]
 
-        # facet corrections folded into the assembled A (outflow + Robin)
-        # = difference between the full element A and the volume part is
-        # already stored in prob.elem_tensors; recover the correction as
-        # (elem A) - (volume A) to stay consistent with any later folds
+        # facet corrections folded into the assembled A (outflow + Robin):
+        # recovered as (stored element A) - (volume A)
         volA = _volume_a_elements(ctx, prob.nu,
                                   getattr(prob, "gradvsymmtrc", True))
         corr = prob.elem_tensors["A"] - volA
@@ -123,24 +115,42 @@ class AffineVectorOps:
         fac_elem = corr[fsel]
         fac_vdofs = vdofs[fsel]
 
+        # element blocking: pack BLK elements per matmul row
+        nc = ctx.wdet.shape[0]
+        blk = max(1, 128 // nd)
+        nc_pad = ((nc + blk - 1) // blk) * blk
+
+        def kronblk(W):
+            return jnp.asarray(np.kron(np.eye(blk), W), dtype)
+
         return cls(
-            W1=jnp.asarray(W1, dtype), W2=jnp.asarray(W2, dtype),
-            MrefI2=jnp.asarray(MrefI2, dtype),
+            W1blk=kronblk(W1), W2blk=kronblk(W2), W2Tblk=kronblk(W2.T),
+            MrefI2blk=kronblk(MrefI2),
             N1q=jnp.asarray(ctx.N1, dtype),
-            JinvT=jnp.asarray(ctx.JinvT, dtype),
-            wdet=jnp.asarray(ctx.wdet, dtype),
-            detJ=jnp.asarray(ctx.detJ, dtype),
-            vdofs=jnp.asarray(vdofs), pdofs=jnp.asarray(pdofs),
+            JinvT=jnp.asarray(_pad_rows(ctx.JinvT, nc_pad), dtype),
+            wdet=jnp.asarray(_pad_rows(ctx.wdet, nc_pad), dtype),
+            detJ=jnp.asarray(_pad_rows(ctx.detJ, nc_pad), dtype),
+            vdofs=jnp.asarray(_pad_rows(vdofs, nc_pad, fill=nin)),
+            pdofs=jnp.asarray(_pad_rows(pdofs, nc_pad, fill=npc)),
             fac_elem=jnp.asarray(fac_elem, dtype),
             fac_vdofs=jnp.asarray(fac_vdofs),
             nin=nin, npc=npc, Q=Q, nu=float(prob.nu),
+            nc=nc_pad, blk=blk, nvpc=nvpc, pnpc=pnpc,
+            sym=bool(getattr(prob, "gradvsymmtrc", True)),
         )
+
+    # -- blocked constant matmul ------------------------------------------------
+    def _bmm(self, X, Wblk, out_dim):
+        """``X (nc, in) @ W (in, out)`` via BLK-element packing."""
+        nc, blk = self.nc, self.blk
+        Xb = X.reshape(nc // blk, -1)
+        return (Xb @ Wblk).reshape(nc, out_dim)
 
     # -- core pipelines -------------------------------------------------------
     def _gather(self, x):
         xpad = jnp.concatenate(
-            [x.astype(self.W1.dtype), jnp.zeros((1,), self.W1.dtype)])
-        return xpad[self.vdofs]                             # (nc,12)
+            [x.astype(self.wdet.dtype), jnp.zeros((1,), self.wdet.dtype)])
+        return xpad[self.vdofs]                             # (nc, 2nvpc)
 
     def _scatter(self, fe, out_dtype):
         out = jax.ops.segment_sum(
@@ -149,58 +159,63 @@ class AffineVectorOps:
         return out[: self.nin].astype(out_dtype)
 
     def _grad(self, xe):
-        """D[e,q,c,d] = d x_c / d x_d at quad points."""
-        nc = self.wdet.shape[0]
-        rg = (xe @ self.W2).reshape(nc, self.Q, 2, 2)       # (q,k,c)
-        return jnp.einsum("edk,eqkc->eqcd", self.JinvT, rg)
+        """D[e,q,c,d] = d x_c / d x_d at quad points (unrolled VPU)."""
+        rg = self._bmm(xe, self.W2blk, 4 * self.Q)
+        rg = rg.reshape(self.nc, self.Q, 2, 2)              # (q,k,c)
+        J = self.JinvT                                       # (nc,d,k)
+        # D[..., c, d] = rg[..., 0, c] J[d,0] + rg[..., 1, c] J[d,1]
+        D = (rg[:, :, 0, :, None] * J[:, None, None, :, 0]
+             + rg[:, :, 1, :, None] * J[:, None, None, :, 1])
+        return D
 
     def _grad_pullback(self, F):
         """y_e[(a,c)] = sum_q wdet F[e,q,c,d] gphi[e,q,a,d] via W2^T."""
-        nc = self.wdet.shape[0]
-        G = jnp.einsum("edk,eqcd->eqkc", self.JinvT, F)
-        G = (self.wdet[:, :, None, None] * G).reshape(nc, 4 * self.Q)
-        return G @ self.W2.T                                 # (nc,12) MXU
+        J = self.JinvT
+        # G[e,q,k,c] = sum_d J[d,k] F[q,c,d]
+        G0 = F[:, :, :, 0] * J[:, None, None, 0, 0] \
+            + F[:, :, :, 1] * J[:, None, None, 1, 0]
+        G1 = F[:, :, :, 0] * J[:, None, None, 0, 1] \
+            + F[:, :, :, 1] * J[:, None, None, 1, 1]
+        G = jnp.stack([G0, G1], axis=2)                      # (nc,Q,k,c)
+        G = (self.wdet[:, :, None, None] * G).reshape(self.nc, 4 * self.Q)
+        return self._bmm(G, self.W2Tblk, 2 * self.nvpc)
+
+    def _facet_corr(self, x, scale=1.0):
+        if self.fac_elem.shape[0] == 0:
+            return None
+        dtp = self.wdet.dtype
+        xfe = jnp.concatenate(
+            [x.astype(dtp), jnp.zeros((1,), dtp)])[self.fac_vdofs]
+        ffe = jnp.einsum("fab,fb->fa", self.fac_elem, xfe) * scale
+        return jax.ops.segment_sum(
+            ffe.reshape(-1), self.fac_vdofs.reshape(-1),
+            num_segments=self.nin + 1)[: self.nin]
 
     # -- matvecs ---------------------------------------------------------------
     def m_matvec(self, x):
         xe = self._gather(x)
-        fe = self.detJ[:, None] * (xe @ self.MrefI2)
+        fe = self.detJ[:, None] * self._bmm(xe, self.MrefI2blk,
+                                            2 * self.nvpc)
         return self._scatter(fe, x.dtype)
 
     def a_matvec(self, x):
-        xe = self._gather(x)
-        D = self._grad(xe)
-        F = self.nu * (D + jnp.swapaxes(D, 2, 3))           # 2 nu eps(u)
-        fe = self._grad_pullback(F)
-        # facet corrections (outflow do-nothing / Robin penalty)
-        if self.fac_elem.shape[0]:
-            xfe = jnp.concatenate(
-                [x.astype(self.W1.dtype),
-                 jnp.zeros((1,), self.W1.dtype)])[self.fac_vdofs]
-            ffe = jnp.einsum("fab,fb->fa", self.fac_elem, xfe)
-            corr = jax.ops.segment_sum(
-                ffe.reshape(-1), self.fac_vdofs.reshape(-1),
-                num_segments=self.nin + 1)[: self.nin]
-            return (self._scatter(fe, x.dtype)
-                    + corr.astype(x.dtype))
-        return self._scatter(fe, x.dtype)
+        return self.ma_matvec(x, 0.0, 1.0)
 
     def ma_matvec(self, x, cm, ca):
         """Fused ``cm * M @ x + ca * A @ x`` sharing gather/scatter."""
         xe = self._gather(x)
         D = self._grad(xe)
-        F = (ca * self.nu) * (D + jnp.swapaxes(D, 2, 3))
+        if self.sym:
+            F = (ca * self.nu) * (D + jnp.swapaxes(D, 2, 3))
+        else:
+            F = (ca * self.nu) * D
         fe = self._grad_pullback(F)
-        fe = fe + (cm * self.detJ)[:, None] * (xe @ self.MrefI2)
+        if cm != 0.0:
+            fe = fe + (cm * self.detJ)[:, None] * self._bmm(
+                xe, self.MrefI2blk, 2 * self.nvpc)
         out = self._scatter(fe, x.dtype)
-        if self.fac_elem.shape[0]:
-            xfe = jnp.concatenate(
-                [x.astype(self.W1.dtype),
-                 jnp.zeros((1,), self.W1.dtype)])[self.fac_vdofs]
-            ffe = jnp.einsum("fab,fb->fa", ca * self.fac_elem, xfe)
-            corr = jax.ops.segment_sum(
-                ffe.reshape(-1), self.fac_vdofs.reshape(-1),
-                num_segments=self.nin + 1)[: self.nin]
+        corr = self._facet_corr(x, scale=ca)
+        if corr is not None:
             out = out + corr.astype(x.dtype)
         return out
 
@@ -209,28 +224,29 @@ class AffineVectorOps:
         xe = self._gather(x)
         D = self._grad(xe)
         div = D[:, :, 0, 0] + D[:, :, 1, 1]                  # (nc,Q)
-        fe = (self.wdet * div) @ self.N1q                    # (nc,3)
+        fe = (self.wdet * div) @ self.N1q                    # (nc,pnpc)
         out = jax.ops.segment_sum(
             fe.reshape(-1), self.pdofs.reshape(-1),
             num_segments=self.npc + 1)
         return out[: self.npc].astype(x.dtype)
 
+    def jt_matvec(self, q):
+        """``J^T @ q``."""
+        dtp = self.wdet.dtype
+        qpad = jnp.concatenate([q.astype(dtp), jnp.zeros((1,), dtp)])
+        qe = qpad[self.pdofs]                                # (nc,pnpc)
+        qq = jnp.einsum("qp,ep->eq", self.N1q, qe)           # (nc,Q)
+        zero = jnp.zeros_like(qq)
+        F = jnp.stack(
+            [jnp.stack([qq, zero], axis=-1),
+             jnp.stack([zero, qq], axis=-1)], axis=-2)       # (nc,Q,c,d)
+        fe = self._grad_pullback(F)
+        return self._scatter(fe, q.dtype)
+
     def view(self, kind, cm=1.0, ca=0.0):
         """A matvec-interface view: kind in {'m','a','ma','j'}; 'ma' is
         the fused ``cm*M + ca*A``; 'j' also exposes ``rmatvec = J^T``."""
         return OpView(self, kind, cm, ca)
-
-    def jt_matvec(self, q):
-        """``J^T @ q``."""
-        dtp = self.W1.dtype
-        qpad = jnp.concatenate(
-            [q.astype(dtp), jnp.zeros((1,), dtp)])
-        qe = qpad[self.pdofs]                                # (nc,3)
-        qq = jnp.einsum("qp,ep->eq", self.N1q, qe)           # (nc,Q)
-        eye = jnp.eye(2, dtype=dtp)
-        F = qq[:, :, None, None] * eye[None, None]
-        fe = self._grad_pullback(F)
-        return self._scatter(fe, q.dtype)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -24,22 +24,32 @@ import scipy.sparse as sps
 
 from ..fem.reference import (
     LOCAL_EDGES,
+    dshape_cr,
+    dshape_dg0,
     dshape_p1,
     dshape_p2,
     edge_points_on_tri,
     edge_quadrature,
+    shape_cr,
+    shape_dg0,
     shape_p1,
     shape_p2,
     tri_quadrature,
 )
+
+# velocity/pressure shape-function dispatch per scheme
+_VEL_SHAPES = {"TH": (shape_p2, dshape_p2), "CR": (shape_cr, dshape_cr)}
+_PRS_SHAPES = {"TH": (shape_p1, dshape_p1), "CR": (shape_dg0, dshape_dg0)}
 
 
 @dataclass
 class AssemblyContext:
     """Precomputed per-element geometry + shape tables (quadrature deg 5).
 
-    Everything needed by both host assembly and the device convection
-    kernels; plain numpy, frozen after construction.
+    Everything needed by both host assembly and the device kernels;
+    plain numpy, frozen after construction.  The table names keep the
+    Taylor-Hood convention (``N2`` = velocity element values, ``N1`` =
+    pressure element values) for all schemes.
     """
 
     space: "object"
@@ -47,11 +57,15 @@ class AssemblyContext:
     def __post_init__(self):
         space = self.space
         mesh = space.mesh
+        scheme = getattr(space, "scheme", "TH")
+        vel_shape, vel_dshape = _VEL_SHAPES[scheme]
+        prs_shape, prs_dshape = _PRS_SHAPES[scheme]
+        self.vel_shape, self.vel_dshape = vel_shape, vel_dshape
         self.qpts, self.qwts = tri_quadrature(5)
-        self.N2 = shape_p2(self.qpts)            # (Q,6)
-        self.dN2 = dshape_p2(self.qpts)          # (Q,6,2)
-        self.N1 = shape_p1(self.qpts)            # (Q,3)
-        self.dN1 = dshape_p1(self.qpts)          # (Q,3,2)
+        self.N2 = vel_shape(self.qpts)           # (Q,nvpc)
+        self.dN2 = vel_dshape(self.qpts)         # (Q,nvpc,2)
+        self.N1 = prs_shape(self.qpts)           # (Q,pnpc)
+        self.dN1 = prs_dshape(self.qpts)         # (Q,pnpc,2)
         self.Jm, self.detJ, self.JinvT = mesh.cell_jacobians()
         # physical gradients at quad points
         self.gphi2 = np.einsum("edk,qak->eqad", self.JinvT, self.dN2)
@@ -98,17 +112,19 @@ def assemble_stokes(
     nc = mesh.num_cells
     wdet = ctx.wdet
 
-    # ---- scalar P2 mass --------------------------------------------------
+    nvpc = ctx.N2.shape[1]
+
+    # ---- scalar velocity mass ---------------------------------------------
     Mref = np.einsum("q,qa,qb->ab", ctx.qwts, ctx.N2, ctx.N2)
-    Me = ctx.detJ[:, None, None] * Mref[None]            # (nc,6,6)
-    Mvec = np.zeros((nc, 6, 2, 6, 2))
+    Me = ctx.detJ[:, None, None] * Mref[None]            # (nc,n,n)
+    Mvec = np.zeros((nc, nvpc, 2, nvpc, 2))
     Mvec[:, :, 0, :, 0] = Me
     Mvec[:, :, 1, :, 1] = Me
     M = _vec_coo(space, Mvec)
 
     # ---- stiffness -------------------------------------------------------
     K1 = np.einsum("eq,eqad,eqbd->eab", wdet, ctx.gphi2, ctx.gphi2)
-    Avec = np.zeros((nc, 6, 2, 6, 2))
+    Avec = np.zeros((nc, nvpc, 2, nvpc, 2))
     if gradvsymmtrc:
         # nu * int (grad u + grad u^T):grad v
         K2 = np.einsum("eq,eqbi,eqaj->eaibj", wdet, ctx.gphi2, ctx.gphi2)
@@ -149,10 +165,11 @@ def assemble_stokes(
 
     out = {"M": M, "A": A, "J": J, "JT": sps.csr_matrix(J.T), "MP": MP}
     if keep_elements:
+        pnpc = ctx.N1.shape[1]
         out["_elem"] = {
-            "M": Mvec.reshape(nc, 12, 12),
-            "A": Avec.reshape(nc, 12, 12),
-            "J": Je.reshape(nc, 3, 12),
+            "M": Mvec.reshape(nc, 2 * nvpc, 2 * nvpc),
+            "A": Avec.reshape(nc, 2 * nvpc, 2 * nvpc),
+            "J": Je.reshape(nc, pnpc, 2 * nvpc),
         }
 
     # ---- Robin boundary control ops ---------------------------------------
@@ -185,8 +202,9 @@ def facet_quad_data(ctx: AssemblyContext, tag: int, nq: int = 3):
     mesh = ctx.space.mesh
     fcells, flocs = mesh.tagged_facets(tag)
     s, ws = edge_quadrature(nq)
-    N = np.empty((len(fcells), nq, 6))
-    dN = np.empty((len(fcells), nq, 6, 2))
+    nvpc = ctx.N2.shape[1]
+    N = np.empty((len(fcells), nq, nvpc))
+    dN = np.empty((len(fcells), nq, nvpc, 2))
     xq = np.empty((len(fcells), nq, 2))
     w = np.empty((len(fcells), nq))
     normal = np.empty((len(fcells), 2))
@@ -195,8 +213,8 @@ def facet_quad_data(ctx: AssemblyContext, tag: int, nq: int = 3):
         if len(sel) == 0:
             continue
         refpts = edge_points_on_tri(le, s)
-        N[sel] = shape_p2(refpts)[None]
-        dref = dshape_p2(refpts)
+        N[sel] = ctx.vel_shape(refpts)[None]
+        dref = ctx.vel_dshape(refpts)
         dN[sel] = np.einsum("edk,qak->eqad", ctx.JinvT[fcells[sel]], dref)
         a, b = LOCAL_EDGES[le]
         va = mesh.verts[mesh.cells[fcells[sel], a]]
@@ -245,7 +263,8 @@ def robin_facet_elements(ctx: AssemblyContext, tag: int):
     — the element form of ``amatrob`` for folding into element tensors."""
     fq = facet_quad_data(ctx, tag)
     me = np.einsum("fq,fqa,fqb->fab", fq["w"], fq["N"], fq["N"])
-    elem = np.zeros(me.shape[:1] + (6, 2, 6, 2))
+    nvpc = me.shape[1]
+    elem = np.zeros(me.shape[:1] + (nvpc, 2, nvpc, 2))
     elem[:, :, 0, :, 0] = me
     elem[:, :, 1, :, 1] = me
     return fq["cells"], elem
@@ -261,7 +280,8 @@ def assemble_robin_facets(ctx: AssemblyContext, tag: int, shapefun):
     space = ctx.space
     fq = facet_quad_data(ctx, tag)
     me = np.einsum("fq,fqa,fqb->fab", fq["w"], fq["N"], fq["N"])
-    elem = np.zeros(me.shape[:1] + (6, 2, 6, 2))
+    nvpc = me.shape[1]
+    elem = np.zeros(me.shape[:1] + (nvpc, 2, nvpc, 2))
     elem[:, :, 0, :, 0] = me
     elem[:, :, 1, :, 1] = me
     vd = space.vdofs_of_cells()[fq["cells"]]

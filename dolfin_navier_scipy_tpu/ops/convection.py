@@ -59,8 +59,8 @@ def convection_matrices_host(ctx, u0_full):
     # N1[(a,i),(b,j)] = delta_ij int (u0 . grad phi_b) phi_a
     u0gradb = np.einsum("eqd,eqbd->eqb", u0q, ctx.gphi2)
     n1e = np.einsum("eq,qa,eqb->eab", ctx.wdet, ctx.N2, u0gradb)
-    nc = n1e.shape[0]
-    N1vec = np.zeros((nc, 6, 2, 6, 2))
+    nc, nvpc = n1e.shape[0], n1e.shape[1]
+    N1vec = np.zeros((nc, nvpc, 2, nvpc, 2))
     N1vec[:, :, 0, :, 0] = n1e
     N1vec[:, :, 1, :, 1] = n1e
 
@@ -95,97 +95,133 @@ class ConvectionKernel:
 
     def __init__(self, ctx: AssemblyContext = None, dtype=None, _leaves=None):
         if _leaves is not None:
-            (self.W1, self.W2, self.W3, self.JinvT, self.wdet,
-             self.nodes, self.vd, self.vdofs_flat) = _leaves
+            (self.W1blk, self.W2blk, self.W3blk, self.Nq, self.dNq,
+             self.JinvT, self.wdet, self.nodes, self.vd,
+             self.vdofs_flat) = _leaves
             return
         space = ctx.space
         dtype = dtype or jnp.float64
         self.nv_full = space.nv_full
         Q = ctx.N2.shape[0]
+        nvpc = ctx.N2.shape[1]
+        nd = 2 * nvpc
         self.Q = Q
+        self.nvpc = nvpc
         # W1: ue(a,c) -> u at quad points (q,c)
-        W1 = np.zeros((12, 2 * Q))
+        W1 = np.zeros((nd, 2 * Q))
         # W2: ue(a,c) -> reference-gradient components (q,k,c)
-        W2 = np.zeros((12, 4 * Q))
+        W2 = np.zeros((nd, 4 * Q))
         # W3: (wdet * conv)(q,c) -> element load (a,c)
-        W3 = np.zeros((2 * Q, 12))
+        W3 = np.zeros((2 * Q, nd))
         for q in range(Q):
-            for a in range(6):
+            for a in range(nvpc):
                 for c in range(2):
                     W1[2 * a + c, 2 * q + c] = ctx.N2[q, a]
                     W3[2 * q + c, 2 * a + c] = ctx.N2[q, a]
                     for k in range(2):
                         W2[2 * a + c, 4 * q + 2 * k + c] = ctx.dN2[q, a, k]
-        self.W1 = jnp.asarray(W1, dtype)
-        self.W2 = jnp.asarray(W2, dtype)
-        self.W3 = jnp.asarray(W3, dtype)
-        self.JinvT = jnp.asarray(ctx.JinvT, dtype)      # (nc,d,k)
-        self.wdet = jnp.asarray(ctx.wdet, dtype)        # (nc,Q)
-        self.nodes = jnp.asarray(space.p2_dofmap)       # (nc,6)
-        vd = space.vdofs_of_cells()                      # (nc,6,2)
-        self.vd = jnp.asarray(vd.reshape(-1, 12))
-        self.vdofs_flat = jnp.asarray(vd.reshape(-1))
+
+        nc = ctx.wdet.shape[0]
+        blk = max(1, 128 // nd)
+        self.blk = blk
+        self.nc_real = nc
+        nc_pad = ((nc + blk - 1) // blk) * blk
+        self.nc = nc_pad
+
+        def kronblk(W):
+            return jnp.asarray(np.kron(np.eye(blk), W), dtype)
+
+        def pad(arr, fill=0):
+            p = nc_pad - arr.shape[0]
+            if p == 0:
+                return arr
+            return np.concatenate(
+                [arr, np.full((p,) + arr.shape[1:], fill, arr.dtype)], 0)
+
+        self.W1blk = kronblk(W1)
+        self.W2blk = kronblk(W2)
+        self.W3blk = kronblk(W3)
+        self.Nq = jnp.asarray(ctx.N2, dtype)                 # (Q,nvpc)
+        self.dNq = jnp.asarray(ctx.dN2, dtype)               # (Q,nvpc,2)
+        self.JinvT = jnp.asarray(pad(ctx.JinvT), dtype)      # (nc,d,k)
+        self.wdet = jnp.asarray(pad(ctx.wdet), dtype)        # (nc,Q)
+        self.nodes = jnp.asarray(pad(space.p2_dofmap, 0))    # (nc,nvpc)
+        vd = space.vdofs_of_cells().reshape(-1, nd)          # (nc,nd)
+        # padding scatters to the extra segment nv_full (dropped)
+        self.vd = jnp.asarray(pad(vd, fill=space.nv_full))
+        self.vdofs_flat = self.vd.reshape(-1)
 
     def tree_flatten(self):
-        return ((self.W1, self.W2, self.W3, self.JinvT, self.wdet,
-                 self.nodes, self.vd, self.vdofs_flat),
-                (self.nv_full, self.Q))
+        return ((self.W1blk, self.W2blk, self.W3blk, self.Nq, self.dNq,
+                 self.JinvT, self.wdet, self.nodes, self.vd,
+                 self.vdofs_flat),
+                (self.nv_full, self.Q, self.nvpc, self.blk, self.nc,
+                 self.nc_real))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls(_leaves=children)
-        obj.nv_full, obj.Q = aux
+        (obj.nv_full, obj.Q, obj.nvpc, obj.blk, obj.nc,
+         obj.nc_real) = aux
         return obj
 
+    def _bmm(self, X, Wblk, out_dim):
+        Xb = X.reshape(self.nc // self.blk, -1)
+        return (Xb @ Wblk).reshape(self.nc, out_dim)
+
     def _fields_at_quad(self, u_full, grads=True):
-        """-> ``(ue (nc,12), uq (nc,Q,2), guq (nc,Q,2,2) or None)``."""
-        nc = self.wdet.shape[0]
+        """-> ``(ue (nc,nd), uq (nc,Q,2), guq (nc,Q,2,2) or None)``."""
         Q = self.Q
-        dt = self.W1.dtype
-        ue = u_full.astype(dt)[self.vd]                          # (nc,12)
-        uq = (ue @ self.W1).reshape(nc, Q, 2)                    # MXU
+        dt = self.wdet.dtype
+        upad = jnp.concatenate([u_full.astype(dt),
+                                jnp.zeros((1,), dt)])
+        ue = upad[jnp.minimum(self.vd, self.nv_full)]        # (nc,nd)
+        uq = self._bmm(ue, self.W1blk, 2 * Q).reshape(self.nc, Q, 2)
         if not grads:
             return ue, uq, None
-        rg = (ue @ self.W2).reshape(nc, Q, 2, 2)                 # (q,k,c)
-        # physical gradients: guq[e,q,c,d] = sum_k JinvT[e,d,k] rg[e,q,k,c]
-        guq = jnp.einsum("edk,eqkc->eqcd", self.JinvT, rg)       # VPU
+        rg = self._bmm(ue, self.W2blk, 4 * Q).reshape(self.nc, Q, 2, 2)
+        J = self.JinvT
+        guq = (rg[:, :, 0, :, None] * J[:, None, None, :, 0]
+               + rg[:, :, 1, :, None] * J[:, None, None, :, 1])
         return ue, uq, guq
 
     def vector(self, u1_full, u2_full=None):
         """Device ``N(u1)u2``-style vector: ``int ((u2.grad)u1).phi dx``."""
-        nc = self.wdet.shape[0]
         _, u1q, gu1q = self._fields_at_quad(u1_full)
         if u2_full is None:
             u2q = u1q
         else:
             _, u2q, _ = self._fields_at_quad(u2_full, grads=False)
-        conv = jnp.einsum("eqd,eqcd->eqc", u2q, gu1q)
-        wconv = (self.wdet[:, :, None] * conv).reshape(nc, 2 * self.Q)
-        fe = wconv @ self.W3                                     # MXU
+        # conv[e,q,c] = sum_d u2q[e,q,d] gu1q[e,q,c,d]  (unrolled VPU)
+        conv = (u2q[:, :, None, 0] * gu1q[:, :, :, 0]
+                + u2q[:, :, None, 1] * gu1q[:, :, :, 1])
+        wconv = (self.wdet[:, :, None] * conv).reshape(self.nc, 2 * self.Q)
+        fe = self._bmm(wconv, self.W3blk, 2 * self.nvpc)
         out = jax.ops.segment_sum(
-            fe.reshape(-1), self.vdofs_flat, num_segments=self.nv_full
+            fe.reshape(-1), self.vdofs_flat,
+            num_segments=self.nv_full + 1
         )
-        return out.astype(u1_full.dtype)
+        return out[: self.nv_full].astype(u1_full.dtype)
 
-    def element_matrices(self, u0_full, picard_only=False):
-        """Per-element linearized convection blocks ``(nc,6,2,6,2)``.
+    def element_matrices(self, u0_full, picard_only=False,
+                         unpadded_nc=None):
+        """Per-element linearized convection blocks ``(nc,n,2,n,2)``
+        over the *unpadded* element count (``unpadded_nc`` trims the
+        blocking pad; pass the mesh cell count, else padded rows with
+        zero weights are returned too — they carry zero entries).
 
         ``N1+N2`` by default (Newton), ``N1`` only for Picard
         (stokes_navier_utils.py:114-118).
         """
-        nc = self.wdet.shape[0]
-        Q = self.Q
         _, u0q, gu0q = self._fields_at_quad(u0_full)
-        # reconstruct per-quad shape tables from the weight matrices
-        Nq = self.W1.reshape(6, 2, Q, 2)[:, 0, :, 0].T           # (Q,6)
-        dN = self.W2.reshape(6, 2, Q, 2, 2)[:, 0, :, :, 0]       # (6,Q,k)
-        gphi = jnp.einsum("edk,aqk->eqad", self.JinvT, dN)
+        gphi = jnp.einsum("edk,qak->eqad", self.JinvT, self.dNq)
         u0gradb = jnp.einsum("eqd,eqbd->eqb", u0q, gphi)
-        n1e = jnp.einsum("eq,qa,eqb->eab", self.wdet, Nq, u0gradb)
+        n1e = jnp.einsum("eq,qa,eqb->eab", self.wdet, self.Nq, u0gradb)
         eye = jnp.eye(2, dtype=n1e.dtype)
         out = jnp.einsum("eab,ij->eaibj", n1e, eye)
         if not picard_only:
             out = out + jnp.einsum(
-                "eq,qa,qb,eqij->eaibj", self.wdet, Nq, Nq, gu0q
+                "eq,qa,qb,eqij->eaibj", self.wdet, self.Nq, self.Nq, gu0q
             )
+        out = out[: (unpadded_nc or self.nc_real)]
         return out.astype(u0_full.dtype)

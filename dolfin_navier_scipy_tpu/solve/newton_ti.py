@@ -32,9 +32,10 @@ from .timeint import _build_ops
 
 def _make_bundle(prob, dt, inv_dtype=None):
     ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype)
+    nd = 2 * prob.ctx.N2.shape[1]
     full2in = np.full(prob.nv_full, len(prob.invinds), dtype=np.int32)
     full2in[prob.invinds] = np.arange(len(prob.invinds), dtype=np.int32)
-    vd = prob.space.vdofs_of_cells().reshape(-1, 12)
+    vd = prob.space.vdofs_of_cells().reshape(-1, nd)
     return dict(
         ops=ops,
         kern=prob.conv_kernel,
@@ -62,7 +63,8 @@ def _conv_data(b, v_lin_inner, picard):
     v_full = b["v_bc"].at[b["invinds"]].set(v_lin_inner)
     kern = b["kern"]
     elem = kern.element_matrices(v_full, picard_only=picard)
-    elem = elem.reshape(-1, 12, 12)
+    nd = elem.shape[1] * elem.shape[2]
+    elem = elem.reshape(-1, nd, nd)
     # bc-column folding: -N @ u_bc (matrix-free, two-field conv vectors)
     conbc = kern.vector(b["v_bc"], v_full)
     if not picard:
