@@ -28,6 +28,7 @@ class TaylorHoodSpace:
     """
 
     scheme = "TH"
+    dim = 2
     mesh: "object"
     # filled by __post_init__:
     p2_dofmap: np.ndarray = field(init=False)   # (nc, 6) P2 node ids
@@ -126,6 +127,101 @@ class TaylorHoodSpace:
 
 
 @dataclass
+class TaylorHoodSpace3D:
+    """P2/P1 Taylor-Hood on tetrahedra (reference 3D setups,
+    problem_setups.py:630-770, :1200-1417).
+
+    Velocity dof = ``3 * p2node + component``.
+    """
+
+    scheme = "TH"
+    dim = 3
+    mesh: "object"
+    p2_dofmap: np.ndarray = field(init=False)
+    p1_dofmap: np.ndarray = field(init=False)
+    p2_coords: np.ndarray = field(init=False)
+    n_p2: int = field(init=False)
+    edge_to_node: dict = field(init=False)
+
+    def __post_init__(self):
+        from ..mesh.tetmesh import LOCAL_EDGES_TET
+
+        mesh = self.mesh
+        cells = mesh.cells
+        nc, nv = mesh.num_cells, mesh.num_verts
+        all_edges = np.concatenate(
+            [np.sort(cells[:, e], axis=1) for e in LOCAL_EDGES_TET], 0)
+        uniq, inv = np.unique(all_edges, axis=0, return_inverse=True)
+        self.n_p2 = nv + len(uniq)
+        edge_nodes = nv + inv.reshape(6, nc).T
+        self.p2_dofmap = np.concatenate([cells, edge_nodes], axis=1)
+        self.p1_dofmap = cells
+        mids = 0.5 * (mesh.verts[uniq[:, 0]] + mesh.verts[uniq[:, 1]])
+        self.p2_coords = np.concatenate([mesh.verts, mids], axis=0)
+        self.edge_to_node = {tuple(e): nv + i
+                             for i, e in enumerate(uniq.tolist())}
+
+    @property
+    def nv_full(self):
+        return 3 * self.n_p2
+
+    @property
+    def np_full(self):
+        return self.mesh.num_verts
+
+    def vdofs_of_cells(self):
+        nodes = self.p2_dofmap
+        return np.stack([3 * nodes, 3 * nodes + 1, 3 * nodes + 2], axis=2)
+
+    def boundary_nodes(self, tag):
+        from ..mesh.tetmesh import LOCAL_FACES
+
+        mesh = self.mesh
+        cells_, locs = mesh.tagged_facets(tag)
+        nodes = set()
+        for c, lf in zip(cells_, locs):
+            tri = mesh.cells[c, LOCAL_FACES[lf]]
+            for v in tri:
+                nodes.add(int(v))
+            for a, b in ((0, 1), (0, 2), (1, 2)):
+                key = (min(tri[a], tri[b]), max(tri[a], tri[b]))
+                nodes.add(self.edge_to_node[key])
+        return np.array(sorted(nodes), dtype=np.int64)
+
+    def dirichlet_dofs(self, tag, value_fn, components=(0, 1, 2)):
+        """{vdof: value}; ``components`` restricts to selected velocity
+        components (z-slip walls constrain only one component,
+        problem_setups.py 3D setups)."""
+        out = {}
+        for node in self.boundary_nodes(tag):
+            val = np.asarray(value_fn(self.p2_coords[node]))
+            for c in components:
+                out[3 * node + c] = float(val[c])
+        return out
+
+    def eval_pressure(self, p, points):
+        cells_, bary = self.mesh.locate(np.atleast_2d(points))
+        if np.any(cells_ < 0):
+            raise ValueError("point outside mesh")
+        return (np.asarray(p)[self.p1_dofmap[cells_]] * bary).sum(axis=1)
+
+    def eval_velocity(self, v, points):
+        from .reference3d import shape_p2_3d
+
+        pts = np.atleast_2d(points)
+        cells_, bary = self.mesh.locate(pts)
+        if np.any(cells_ < 0):
+            raise ValueError("point outside mesh")
+        ref = bary[:, 1:4]
+        out = np.zeros((len(pts), 3))
+        v3 = np.asarray(v).reshape(-1, 3)
+        for i, (c, rp) in enumerate(zip(cells_, ref)):
+            N = shape_p2_3d(rp[None, :])[0]
+            out[i] = N @ v3[self.p2_dofmap[c]]
+        return out
+
+
+@dataclass
 class CrouzeixRaviartSpace:
     """CR1 velocity (edge-midpoint, nonconforming) / DG0 pressure.
 
@@ -137,6 +233,7 @@ class CrouzeixRaviartSpace:
     """
 
     scheme = "CR"
+    dim = 2
     mesh: "object"
     p2_dofmap: np.ndarray = field(init=False)
     p1_dofmap: np.ndarray = field(init=False)

@@ -31,8 +31,9 @@ class LiftDragSurfForce:
         if prob.ldsbcinds is None:
             raise ValueError("problem has no lift/drag surface")
         lds = np.asarray(prob.ldsbcinds)
-        self.xdofs = lds[lds % 2 == 0]
-        self.ydofs = lds[lds % 2 == 1]
+        dim = getattr(prob.space, "dim", 2)
+        self.xdofs = lds[lds % dim == 0]
+        self.ydofs = lds[lds % dim == 1]
         self.rho = rho
 
     def momentum_residual(self, v_full, p):

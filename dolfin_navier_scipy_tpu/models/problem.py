@@ -39,6 +39,9 @@ class GeoSetup:
     odcoo: Optional[dict] = None
     ppin: Optional[int] = None                # pressure pinning (-1 or None)
     moving_wall_cntrl: bool = False           # moving walls are controls
+    # 3D: walls constraining only selected velocity components
+    # (the reference's z-slip walls, problem_setups.py 3D setups)
+    slip_walls: Dict[int, tuple] = field(default_factory=dict)
 
 
 @dataclass
@@ -162,7 +165,12 @@ def build_problem(
     scheme: str = "TH",
 ) -> NSEProblem:
     """Compile a mesh + geometry description into an :class:`NSEProblem`."""
-    if scheme == "TH":
+    dim = getattr(mesh, "dim", 2)
+    if scheme == "TH" and dim == 3:
+        from ..fem.dofmap import TaylorHoodSpace3D
+
+        space = TaylorHoodSpace3D(mesh)
+    elif scheme == "TH":
         space = TaylorHoodSpace(mesh)
     elif scheme == "CR":
         from ..fem.dofmap import CrouzeixRaviartSpace
@@ -187,12 +195,15 @@ def build_problem(
     )
 
     # ---- Dirichlet data ------------------------------------------------------
+    zerofn = lambda x: np.zeros(dim)          # noqa: E731
     bcdict = {}
     dircntrl = []
     for tag in geo.wall_tags:
-        bcdict.update(space.dirichlet_dofs(tag, lambda x: (0.0, 0.0)))
+        bcdict.update(space.dirichlet_dofs(tag, zerofn))
+    for tag, comps in geo.slip_walls.items():
+        bcdict.update(space.dirichlet_dofs(tag, zerofn, components=comps))
     for tag in geo.moving_wall_tags:
-        fn = geo.moving_wall_fns.get(tag, lambda x: (0.0, 0.0))
+        fn = geo.moving_wall_fns.get(tag, zerofn)
         if geo.moving_wall_cntrl:
             # control dofs: excluded from the inner set, zero static value,
             # time-varying values applied by the integrators' controls
@@ -204,7 +215,7 @@ def build_problem(
             bcdict.update(space.dirichlet_dofs(tag, fn))
     if not bccontrol:
         for tag in geo.control_tags:
-            bcdict.update(space.dirichlet_dofs(tag, lambda x: (0.0, 0.0)))
+            bcdict.update(space.dirichlet_dofs(tag, zerofn))
     if geo.inflow_tag is not None:
         bcdict.update(space.dirichlet_dofs(geo.inflow_tag, geo.inflow_fn))
     dbcinds = np.array(sorted(bcdict), dtype=np.int64)
@@ -251,7 +262,8 @@ def build_problem(
         prob.dircntrl = dircntrl
     if geo.liftdrag_tag is not None:
         nodes = space.boundary_nodes(geo.liftdrag_tag)
-        prob.ldsbcinds = np.concatenate([2 * nodes, 2 * nodes + 1])
+        prob.ldsbcinds = np.concatenate(
+            [dim * nodes + c for c in range(dim)])
     if bccontrol and "amatrob" in mats:
         from ..ops.condense import condense_velmat
 

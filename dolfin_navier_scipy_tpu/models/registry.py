@@ -22,6 +22,14 @@ def get_sysmats(problem="gen_bccont", scheme="TH", ppin=None, Re=None,
             N=meshparams.get("N", 10), nu=nu, Re=Re, scheme=scheme,
             gradvsymmtrc=gradvsymmtrc,
         )
+    elif problem == "cylinderwake3D":
+        from .cylinderwake3d import cylinderwake3d_problem
+
+        prob = cylinderwake3d_problem(
+            level=meshparams.get("level", 0),
+            nz=meshparams.get("nz", 3),
+            nu=nu, Re=Re, charvel=charvel,
+        )
     elif problem in ("cylinderwake", "gen_bccont", "cylinder_rot"):
         prob = cylinderwake_problem(
             level=meshparams.get("level", 1),

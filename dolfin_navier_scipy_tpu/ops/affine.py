@@ -26,18 +26,19 @@ import jax.numpy as jnp
 
 
 def _volume_a_elements(ctx, nu, gradvsymmtrc=True):
-    """Volume part of the stiffness element tensors (nc,2n,2n) — used to
+    """Volume part of the stiffness element tensors (nc,dn,dn) — used to
     split the assembled element tensors into volume + facet corrections."""
     nc = ctx.wdet.shape[0]
     nvpc = ctx.N2.shape[1]
+    dim = getattr(ctx, "dim", 2)
     K1 = np.einsum("eq,eqad,eqbd->eab", ctx.wdet, ctx.gphi2, ctx.gphi2)
-    Avec = np.zeros((nc, nvpc, 2, nvpc, 2))
-    Avec[:, :, 0, :, 0] += K1
-    Avec[:, :, 1, :, 1] += K1
+    Avec = np.zeros((nc, nvpc, dim, nvpc, dim))
+    for c in range(dim):
+        Avec[:, :, c, :, c] += K1
     if gradvsymmtrc:
         Avec += np.einsum("eq,eqbi,eqaj->eaibj", ctx.wdet, ctx.gphi2,
                           ctx.gphi2)
-    return nu * Avec.reshape(nc, 2 * nvpc, 2 * nvpc)
+    return nu * Avec.reshape(nc, dim * nvpc, dim * nvpc)
 
 
 def _pad_rows(arr, nc_pad, fill=0):
@@ -55,7 +56,7 @@ class AffineVectorOps:
     _leaf_names = ("W1blk", "W2blk", "W2Tblk", "MrefI2blk", "N1q", "JinvT",
                    "wdet", "vdofs", "pdofs", "detJ", "fac_elem", "fac_vdofs")
     _aux_names = ("nin", "npc", "Q", "nu", "nc", "blk", "nvpc", "pnpc",
-                  "sym")
+                  "sym", "dim")
 
     def __init__(self, **kw):
         for n in self._leaf_names + self._aux_names:
@@ -82,17 +83,19 @@ class AffineVectorOps:
         Q = ctx.N2.shape[0]
         nvpc = ctx.N2.shape[1]          # velocity nodes per cell
         pnpc = ctx.N1.shape[1]          # pressure nodes per cell
-        nd = 2 * nvpc
-        W1 = np.zeros((nd, 2 * Q))
-        W2 = np.zeros((nd, 4 * Q))
+        dim = getattr(ctx, "dim", 2)
+        nd = dim * nvpc
+        W1 = np.zeros((nd, dim * Q))
+        W2 = np.zeros((nd, dim * dim * Q))
         for q in range(Q):
             for a in range(nvpc):
-                for c in range(2):
-                    W1[2 * a + c, 2 * q + c] = ctx.N2[q, a]
-                    for k in range(2):
-                        W2[2 * a + c, 4 * q + 2 * k + c] = ctx.dN2[q, a, k]
+                for c in range(dim):
+                    W1[dim * a + c, dim * q + c] = ctx.N2[q, a]
+                    for k in range(dim):
+                        W2[dim * a + c,
+                           dim * dim * q + dim * k + c] = ctx.dN2[q, a, k]
         Mref = np.einsum("q,qa,qb->ab", ctx.qwts, ctx.N2, ctx.N2)
-        MrefI2 = np.kron(Mref, np.eye(2))
+        MrefI2 = np.kron(Mref, np.eye(dim))
 
         nin = len(prob.invinds)
         full2in = np.full(prob.nv_full + 1, nin, dtype=np.int32)
@@ -115,9 +118,11 @@ class AffineVectorOps:
         fac_elem = corr[fsel]
         fac_vdofs = vdofs[fsel]
 
-        # element blocking: pack BLK elements per matmul row
+        # element blocking: pack BLK elements per matmul row.
+        # Only the emulated-f64 matmuls benefit (44x measured); in f32 the
+        # native MXU path is faster unblocked, so blk=1 there.
         nc = ctx.wdet.shape[0]
-        blk = max(1, 128 // nd)
+        blk = max(1, 128 // nd) if dtype == jnp.float64 else 1
         nc_pad = ((nc + blk - 1) // blk) * blk
 
         def kronblk(W):
@@ -136,7 +141,7 @@ class AffineVectorOps:
             fac_vdofs=jnp.asarray(fac_vdofs),
             nin=nin, npc=npc, Q=Q, nu=float(prob.nu),
             nc=nc_pad, blk=blk, nvpc=nvpc, pnpc=pnpc,
-            sym=bool(getattr(prob, "gradvsymmtrc", True)),
+            sym=bool(getattr(prob, "gradvsymmtrc", True)), dim=dim,
         )
 
     # -- blocked constant matmul ------------------------------------------------
@@ -159,26 +164,20 @@ class AffineVectorOps:
         return out[: self.nin].astype(out_dtype)
 
     def _grad(self, xe):
-        """D[e,q,c,d] = d x_c / d x_d at quad points (unrolled VPU)."""
-        rg = self._bmm(xe, self.W2blk, 4 * self.Q)
-        rg = rg.reshape(self.nc, self.Q, 2, 2)              # (q,k,c)
-        J = self.JinvT                                       # (nc,d,k)
-        # D[..., c, d] = rg[..., 0, c] J[d,0] + rg[..., 1, c] J[d,1]
-        D = (rg[:, :, 0, :, None] * J[:, None, None, :, 0]
-             + rg[:, :, 1, :, None] * J[:, None, None, :, 1])
-        return D
+        """D[e,q,c,d] = d x_c / d x_d at quad points."""
+        d = self.dim
+        rg = self._bmm(xe, self.W2blk, d * d * self.Q)
+        rg = rg.reshape(self.nc, self.Q, d, d)              # (q,k,c)
+        # NOTE: einsum here (not unrolled broadcasts): small-trailing-dim
+        # elementwise intermediates get tile-padded ~256x on TPU
+        return jnp.einsum("edk,eqkc->eqcd", self.JinvT, rg)
 
     def _grad_pullback(self, F):
         """y_e[(a,c)] = sum_q wdet F[e,q,c,d] gphi[e,q,a,d] via W2^T."""
-        J = self.JinvT
-        # G[e,q,k,c] = sum_d J[d,k] F[q,c,d]
-        G0 = F[:, :, :, 0] * J[:, None, None, 0, 0] \
-            + F[:, :, :, 1] * J[:, None, None, 1, 0]
-        G1 = F[:, :, :, 0] * J[:, None, None, 0, 1] \
-            + F[:, :, :, 1] * J[:, None, None, 1, 1]
-        G = jnp.stack([G0, G1], axis=2)                      # (nc,Q,k,c)
-        G = (self.wdet[:, :, None, None] * G).reshape(self.nc, 4 * self.Q)
-        return self._bmm(G, self.W2Tblk, 2 * self.nvpc)
+        G = jnp.einsum("edk,eqcd->eqkc", self.JinvT, F)
+        G = (self.wdet[:, :, None, None]
+             * G).reshape(self.nc, self.dim * self.dim * self.Q)
+        return self._bmm(G, self.W2Tblk, self.dim * self.nvpc)
 
     def _facet_corr(self, x, scale=1.0):
         if self.fac_elem.shape[0] == 0:
@@ -195,7 +194,7 @@ class AffineVectorOps:
     def m_matvec(self, x):
         xe = self._gather(x)
         fe = self.detJ[:, None] * self._bmm(xe, self.MrefI2blk,
-                                            2 * self.nvpc)
+                                            self.dim * self.nvpc)
         return self._scatter(fe, x.dtype)
 
     def a_matvec(self, x):
@@ -212,7 +211,7 @@ class AffineVectorOps:
         fe = self._grad_pullback(F)
         if cm != 0.0:
             fe = fe + (cm * self.detJ)[:, None] * self._bmm(
-                xe, self.MrefI2blk, 2 * self.nvpc)
+                xe, self.MrefI2blk, self.dim * self.nvpc)
         out = self._scatter(fe, x.dtype)
         corr = self._facet_corr(x, scale=ca)
         if corr is not None:
@@ -223,7 +222,7 @@ class AffineVectorOps:
         """``J @ x``: q-weighted divergence."""
         xe = self._gather(x)
         D = self._grad(xe)
-        div = D[:, :, 0, 0] + D[:, :, 1, 1]                  # (nc,Q)
+        div = jnp.trace(D, axis1=2, axis2=3)                 # (nc,Q)
         fe = (self.wdet * div) @ self.N1q                    # (nc,pnpc)
         out = jax.ops.segment_sum(
             fe.reshape(-1), self.pdofs.reshape(-1),
@@ -236,10 +235,8 @@ class AffineVectorOps:
         qpad = jnp.concatenate([q.astype(dtp), jnp.zeros((1,), dtp)])
         qe = qpad[self.pdofs]                                # (nc,pnpc)
         qq = jnp.einsum("qp,ep->eq", self.N1q, qe)           # (nc,Q)
-        zero = jnp.zeros_like(qq)
-        F = jnp.stack(
-            [jnp.stack([qq, zero], axis=-1),
-             jnp.stack([zero, qq], axis=-1)], axis=-2)       # (nc,Q,c,d)
+        eye = jnp.eye(self.dim, dtype=dtp)
+        F = qq[:, :, None, None] * eye[None, None]           # (nc,Q,c,d)
         fe = self._grad_pullback(F)
         return self._scatter(fe, q.dtype)
 

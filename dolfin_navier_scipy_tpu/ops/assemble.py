@@ -37,9 +37,19 @@ from ..fem.reference import (
     tri_quadrature,
 )
 
-# velocity/pressure shape-function dispatch per scheme
-_VEL_SHAPES = {"TH": (shape_p2, dshape_p2), "CR": (shape_cr, dshape_cr)}
-_PRS_SHAPES = {"TH": (shape_p1, dshape_p1), "CR": (shape_dg0, dshape_dg0)}
+# velocity/pressure shape-function dispatch per (scheme, dim)
+_VEL_SHAPES = {("TH", 2): (shape_p2, dshape_p2),
+               ("CR", 2): (shape_cr, dshape_cr)}
+_PRS_SHAPES = {("TH", 2): (shape_p1, dshape_p1),
+               ("CR", 2): (shape_dg0, dshape_dg0)}
+
+
+def _register_3d():
+    from ..fem.reference3d import (
+        dshape_p1_3d, dshape_p2_3d, shape_p1_3d, shape_p2_3d)
+
+    _VEL_SHAPES[("TH", 3)] = (shape_p2_3d, dshape_p2_3d)
+    _PRS_SHAPES[("TH", 3)] = (shape_p1_3d, dshape_p1_3d)
 
 
 @dataclass
@@ -58,10 +68,18 @@ class AssemblyContext:
         space = self.space
         mesh = space.mesh
         scheme = getattr(space, "scheme", "TH")
-        vel_shape, vel_dshape = _VEL_SHAPES[scheme]
-        prs_shape, prs_dshape = _PRS_SHAPES[scheme]
+        self.dim = getattr(space, "dim", 2)
+        if self.dim == 3 and (scheme, 3) not in _VEL_SHAPES:
+            _register_3d()
+        vel_shape, vel_dshape = _VEL_SHAPES[(scheme, self.dim)]
+        prs_shape, prs_dshape = _PRS_SHAPES[(scheme, self.dim)]
         self.vel_shape, self.vel_dshape = vel_shape, vel_dshape
-        self.qpts, self.qwts = tri_quadrature(5)
+        if self.dim == 3:
+            from ..fem.reference3d import tet_quadrature
+
+            self.qpts, self.qwts = tet_quadrature(5)
+        else:
+            self.qpts, self.qwts = tri_quadrature(5)
         self.N2 = vel_shape(self.qpts)           # (Q,nvpc)
         self.dN2 = vel_dshape(self.qpts)         # (Q,nvpc,2)
         self.N1 = prs_shape(self.qpts)           # (Q,pnpc)
@@ -113,27 +131,25 @@ def assemble_stokes(
     wdet = ctx.wdet
 
     nvpc = ctx.N2.shape[1]
+    dim = ctx.dim
 
     # ---- scalar velocity mass ---------------------------------------------
     Mref = np.einsum("q,qa,qb->ab", ctx.qwts, ctx.N2, ctx.N2)
     Me = ctx.detJ[:, None, None] * Mref[None]            # (nc,n,n)
-    Mvec = np.zeros((nc, nvpc, 2, nvpc, 2))
-    Mvec[:, :, 0, :, 0] = Me
-    Mvec[:, :, 1, :, 1] = Me
+    Mvec = np.zeros((nc, nvpc, dim, nvpc, dim))
+    for c in range(dim):
+        Mvec[:, :, c, :, c] = Me
     M = _vec_coo(space, Mvec)
 
     # ---- stiffness -------------------------------------------------------
     K1 = np.einsum("eq,eqad,eqbd->eab", wdet, ctx.gphi2, ctx.gphi2)
-    Avec = np.zeros((nc, nvpc, 2, nvpc, 2))
+    Avec = np.zeros((nc, nvpc, dim, nvpc, dim))
+    for c in range(dim):
+        Avec[:, :, c, :, c] += K1
     if gradvsymmtrc:
         # nu * int (grad u + grad u^T):grad v
-        K2 = np.einsum("eq,eqbi,eqaj->eaibj", wdet, ctx.gphi2, ctx.gphi2)
-        Avec[:, :, 0, :, 0] += K1
-        Avec[:, :, 1, :, 1] += K1
-        Avec += K2
-    else:
-        Avec[:, :, 0, :, 0] += K1
-        Avec[:, :, 1, :, 1] += K1
+        Avec += np.einsum("eq,eqbi,eqaj->eaibj", wdet, ctx.gphi2,
+                          ctx.gphi2)
     Avec *= nu
 
     # outflow do-nothing correction for the symmetrized gradient, folded
@@ -167,9 +183,9 @@ def assemble_stokes(
     if keep_elements:
         pnpc = ctx.N1.shape[1]
         out["_elem"] = {
-            "M": Mvec.reshape(nc, 2 * nvpc, 2 * nvpc),
-            "A": Avec.reshape(nc, 2 * nvpc, 2 * nvpc),
-            "J": Je.reshape(nc, pnpc, 2 * nvpc),
+            "M": Mvec.reshape(nc, dim * nvpc, dim * nvpc),
+            "A": Avec.reshape(nc, dim * nvpc, dim * nvpc),
+            "J": Je.reshape(nc, pnpc, dim * nvpc),
         }
 
     # ---- Robin boundary control ops ---------------------------------------
@@ -195,10 +211,12 @@ def facet_quad_data(ctx: AssemblyContext, tag: int, nq: int = 3):
     """Per-facet quadrature tables for boundary integrals on ``tag``.
 
     Returns a dict with (nf = number of facets, Q = nq):
-      ``cells (nf,)``, ``N (nf,Q,6)`` P2 traces, ``gphi (nf,Q,6,2)``
-      physical gradients, ``w (nf,Q)`` physical weights (sum = edge length),
-      ``normal (nf,2)`` outward normals, ``xq (nf,Q,2)`` physical points.
+      ``cells (nf,)``, ``N (nf,Q,n)`` velocity traces, ``gphi`` physical
+      gradients, ``w (nf,Q)`` physical weights (sum = facet measure),
+      ``normal (nf,dim)`` outward normals, ``xq`` physical points.
     """
+    if ctx.dim == 3:
+        return _facet_quad_data_3d(ctx, tag)
     mesh = ctx.space.mesh
     fcells, flocs = mesh.tagged_facets(tag)
     s, ws = edge_quadrature(nq)
@@ -309,7 +327,7 @@ def assemble_rhs(ctx: AssemblyContext, fv_fn=None, fp_fn=None, t=None):
     fv = np.zeros((space.nv_full, 1))
     fp = np.zeros((space.np_full, 1))
     if fv_fn is not None:
-        vals = np.empty(ctx.xq.shape[:2] + (2,))
+        vals = np.empty(ctx.xq.shape[:2] + (ctx.dim,))
         for e in range(ctx.xq.shape[0]):
             for q in range(ctx.xq.shape[1]):
                 vals[e, q] = fv_fn(ctx.xq[e, q], t) if t is not None \
@@ -325,3 +343,45 @@ def assemble_rhs(ctx: AssemblyContext, fv_fn=None, fp_fn=None, t=None):
         fe = np.einsum("eq,qa,eq->ea", ctx.wdet, ctx.N1, vals)
         np.add.at(fp[:, 0], space.p1_dofmap.ravel(), fe.ravel())
     return fv, fp
+
+
+def _facet_quad_data_3d(ctx: AssemblyContext, tag: int):
+    """Boundary-face quadrature tables on a tet mesh."""
+    from ..fem.reference3d import face_points_on_tet
+    from ..mesh.tetmesh import LOCAL_FACES
+
+    mesh = ctx.space.mesh
+    fcells, flocs = mesh.tagged_facets(tag)
+    qp2, qw2 = tri_quadrature(5)          # weights sum to 1/2 (ref area)
+    nqf = len(qw2)
+    nvpc = ctx.N2.shape[1]
+    nf = len(fcells)
+    N = np.empty((nf, nqf, nvpc))
+    dN = np.empty((nf, nqf, nvpc, 3))
+    xq = np.empty((nf, nqf, 3))
+    w = np.empty((nf, nqf))
+    normal = np.empty((nf, 3))
+    for lf in range(4):
+        sel = np.flatnonzero(flocs == lf)
+        if len(sel) == 0:
+            continue
+        refpts = face_points_on_tet(lf, qp2)
+        N[sel] = ctx.vel_shape(refpts)[None]
+        dref = ctx.vel_dshape(refpts)
+        dN[sel] = np.einsum("edk,qak->eqad", ctx.JinvT[fcells[sel]], dref)
+        tri = mesh.cells[fcells[sel]][:, LOCAL_FACES[lf]]
+        va = mesh.verts[tri[:, 0]]
+        vb = mesh.verts[tri[:, 1]]
+        vc = mesh.verts[tri[:, 2]]
+        # |cross| = 2*area; the tri rule's weights sum to 1/2 (ref area),
+        # so scaling by |cross| makes the weights sum to the face area
+        areas2 = np.linalg.norm(np.cross(vb - va, vc - va), axis=1)
+        w[sel] = qw2[None, :] * areas2[:, None]
+        r = qp2[:, 0:1]
+        sc = qp2[:, 1:2]
+        xq[sel] = (va[:, None, :] * (1 - r - sc)[None, :, :]
+                   + vb[:, None, :] * r[None, :, :]
+                   + vc[:, None, :] * sc[None, :, :])
+        for i, f in enumerate(sel):
+            normal[f] = mesh.facet_normal(fcells[f], flocs[f])
+    return dict(cells=fcells, N=N, gphi=dN, w=w, normal=normal, xq=xq)

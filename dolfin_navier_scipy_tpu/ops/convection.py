@@ -31,9 +31,10 @@ from .assemble import AssemblyContext
 def _u_at_quad(ctx: AssemblyContext, u_full: np.ndarray):
     """values and gradients of a velocity field at the quad points."""
     space = ctx.space
-    ue = u_full.reshape(-1, 2)[space.p2_dofmap]          # (nc,6,2)
-    uq = np.einsum("qa,eac->eqc", ctx.N2, ue)            # (nc,Q,2)
-    guq = np.einsum("eqad,eac->eqcd", ctx.gphi2, ue)     # (nc,Q,2,2) dU_c/dx_d
+    dim = getattr(ctx, "dim", 2)
+    ue = u_full.reshape(-1, dim)[space.p2_dofmap]        # (nc,n,dim)
+    uq = np.einsum("qa,eac->eqc", ctx.N2, ue)            # (nc,Q,dim)
+    guq = np.einsum("eqad,eac->eqcd", ctx.gphi2, ue)     # dU_c/dx_d
     return ue, uq, guq
 
 
@@ -60,9 +61,10 @@ def convection_matrices_host(ctx, u0_full):
     u0gradb = np.einsum("eqd,eqbd->eqb", u0q, ctx.gphi2)
     n1e = np.einsum("eq,qa,eqb->eab", ctx.wdet, ctx.N2, u0gradb)
     nc, nvpc = n1e.shape[0], n1e.shape[1]
-    N1vec = np.zeros((nc, nvpc, 2, nvpc, 2))
-    N1vec[:, :, 0, :, 0] = n1e
-    N1vec[:, :, 1, :, 1] = n1e
+    dim = getattr(ctx, "dim", 2)
+    N1vec = np.zeros((nc, nvpc, dim, nvpc, dim))
+    for c in range(dim):
+        N1vec[:, :, c, :, c] = n1e
 
     # N2[(a,i),(b,j)] = int phi_b dU0_i/dx_j phi_a
     N2vec = np.einsum("eq,qa,qb,eqij->eaibj", ctx.wdet, ctx.N2, ctx.N2, gu0q)
@@ -104,25 +106,29 @@ class ConvectionKernel:
         self.nv_full = space.nv_full
         Q = ctx.N2.shape[0]
         nvpc = ctx.N2.shape[1]
-        nd = 2 * nvpc
+        dim = getattr(ctx, "dim", 2)
+        self.dim = dim
+        nd = dim * nvpc
         self.Q = Q
         self.nvpc = nvpc
         # W1: ue(a,c) -> u at quad points (q,c)
-        W1 = np.zeros((nd, 2 * Q))
+        W1 = np.zeros((nd, dim * Q))
         # W2: ue(a,c) -> reference-gradient components (q,k,c)
-        W2 = np.zeros((nd, 4 * Q))
+        W2 = np.zeros((nd, dim * dim * Q))
         # W3: (wdet * conv)(q,c) -> element load (a,c)
-        W3 = np.zeros((2 * Q, nd))
+        W3 = np.zeros((dim * Q, nd))
         for q in range(Q):
             for a in range(nvpc):
-                for c in range(2):
-                    W1[2 * a + c, 2 * q + c] = ctx.N2[q, a]
-                    W3[2 * q + c, 2 * a + c] = ctx.N2[q, a]
-                    for k in range(2):
-                        W2[2 * a + c, 4 * q + 2 * k + c] = ctx.dN2[q, a, k]
+                for c in range(dim):
+                    W1[dim * a + c, dim * q + c] = ctx.N2[q, a]
+                    W3[dim * q + c, dim * a + c] = ctx.N2[q, a]
+                    for k in range(dim):
+                        W2[dim * a + c,
+                           dim * dim * q + dim * k + c] = ctx.dN2[q, a, k]
 
         nc = ctx.wdet.shape[0]
-        blk = max(1, 128 // nd)
+        # blocking pays off only for emulated-f64 matmuls (see affine.py)
+        blk = max(1, 128 // nd) if dtype == jnp.float64 else 1
         self.blk = blk
         self.nc_real = nc
         nc_pad = ((nc + blk - 1) // blk) * blk
@@ -156,13 +162,13 @@ class ConvectionKernel:
                  self.JinvT, self.wdet, self.nodes, self.vd,
                  self.vdofs_flat),
                 (self.nv_full, self.Q, self.nvpc, self.blk, self.nc,
-                 self.nc_real))
+                 self.nc_real, self.dim))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls(_leaves=children)
         (obj.nv_full, obj.Q, obj.nvpc, obj.blk, obj.nc,
-         obj.nc_real) = aux
+         obj.nc_real, obj.dim) = aux
         return obj
 
     def _bmm(self, X, Wblk, out_dim):
@@ -173,16 +179,16 @@ class ConvectionKernel:
         """-> ``(ue (nc,nd), uq (nc,Q,2), guq (nc,Q,2,2) or None)``."""
         Q = self.Q
         dt = self.wdet.dtype
+        dim = self.dim
         upad = jnp.concatenate([u_full.astype(dt),
                                 jnp.zeros((1,), dt)])
         ue = upad[jnp.minimum(self.vd, self.nv_full)]        # (nc,nd)
-        uq = self._bmm(ue, self.W1blk, 2 * Q).reshape(self.nc, Q, 2)
+        uq = self._bmm(ue, self.W1blk, dim * Q).reshape(self.nc, Q, dim)
         if not grads:
             return ue, uq, None
-        rg = self._bmm(ue, self.W2blk, 4 * Q).reshape(self.nc, Q, 2, 2)
-        J = self.JinvT
-        guq = (rg[:, :, 0, :, None] * J[:, None, None, :, 0]
-               + rg[:, :, 1, :, None] * J[:, None, None, :, 1])
+        rg = self._bmm(ue, self.W2blk,
+                       dim * dim * Q).reshape(self.nc, Q, dim, dim)
+        guq = jnp.einsum("edk,eqkc->eqcd", self.JinvT, rg)
         return ue, uq, guq
 
     def vector(self, u1_full, u2_full=None):
@@ -192,11 +198,10 @@ class ConvectionKernel:
             u2q = u1q
         else:
             _, u2q, _ = self._fields_at_quad(u2_full, grads=False)
-        # conv[e,q,c] = sum_d u2q[e,q,d] gu1q[e,q,c,d]  (unrolled VPU)
-        conv = (u2q[:, :, None, 0] * gu1q[:, :, :, 0]
-                + u2q[:, :, None, 1] * gu1q[:, :, :, 1])
-        wconv = (self.wdet[:, :, None] * conv).reshape(self.nc, 2 * self.Q)
-        fe = self._bmm(wconv, self.W3blk, 2 * self.nvpc)
+        conv = jnp.einsum("eqd,eqcd->eqc", u2q, gu1q)
+        wconv = (self.wdet[:, :, None]
+                 * conv).reshape(self.nc, self.dim * self.Q)
+        fe = self._bmm(wconv, self.W3blk, self.dim * self.nvpc)
         out = jax.ops.segment_sum(
             fe.reshape(-1), self.vdofs_flat,
             num_segments=self.nv_full + 1
@@ -217,7 +222,7 @@ class ConvectionKernel:
         gphi = jnp.einsum("edk,qak->eqad", self.JinvT, self.dNq)
         u0gradb = jnp.einsum("eqd,eqbd->eqb", u0q, gphi)
         n1e = jnp.einsum("eq,qa,eqb->eab", self.wdet, self.Nq, u0gradb)
-        eye = jnp.eye(2, dtype=n1e.dtype)
+        eye = jnp.eye(self.dim, dtype=n1e.dtype)
         out = jnp.einsum("eab,ij->eaibj", n1e, eye)
         if not picard_only:
             out = out + jnp.einsum(

@@ -39,6 +39,7 @@ def solve_nse(
     return_vp_dict=False,
     return_final_vp=True,
     vel_nwtn_stps=4, vel_nwtn_tol=1e-10, vel_pcrd_stps=2,
+    paraviewoutput=False, vfileprfx="results/vel", prvoutpnts=None,
     verbose=False,
     **kw,
 ):
@@ -93,4 +94,17 @@ def solve_nse(
                            p=np.asarray(out["ps"][i]))
             for i, t in enumerate(out["times"])
         }
+    if paraviewoutput and out["times"] is not None:
+        # decimated-trajectory Paraview series (the reference writes
+        # inside the loop via dou.output_paraview; we write post-scan
+        # from the device-resident trajectory)
+        from ..utils.vtk import PVDWriter
+
+        w = PVDWriter(vfileprfx, prob,
+                      tfilter=prvoutpnts)
+        for i, t in enumerate(np.asarray(out["times"])):
+            w.write(v_full=np.asarray(prob.embed(out["vs"][i])),
+                    p=np.asarray(out["ps"][i]), t=float(t))
+        w.close()
+        out["pvdfile"] = vfileprfx + ".pvd"
     return out

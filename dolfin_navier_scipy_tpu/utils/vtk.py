@@ -72,22 +72,50 @@ class PVDWriter:
         self.entries = []
         os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
 
+    def _vertex_velocity(self, vf):
+        """P2: vertex dofs lead; CR: average incident edge-midpoint values."""
+        space = self.prob.space
+        mesh = space.mesh
+        nv = mesh.num_verts
+        if getattr(space, "scheme", "TH") == "TH":
+            return vf[:nv]
+        # CR: accumulate edge values onto their two vertices
+        acc = np.zeros((nv, 2))
+        cnt = np.zeros(nv)
+        for (a, b), node in space.edge_to_node.items():
+            acc[a] += vf[node]
+            acc[b] += vf[node]
+            cnt[a] += 1
+            cnt[b] += 1
+        return acc / np.maximum(cnt, 1)[:, None]
+
+    def _vertex_pressure(self, p):
+        space = self.prob.space
+        if getattr(space, "scheme", "TH") == "TH":
+            return p
+        # DG0 -> vertex average over adjacent cells
+        mesh = space.mesh
+        acc = np.zeros(mesh.num_verts)
+        cnt = np.zeros(mesh.num_verts)
+        np.add.at(acc, mesh.cells.ravel(), np.repeat(p, 3))
+        np.add.at(cnt, mesh.cells.ravel(), 1)
+        return acc / np.maximum(cnt, 1)
+
     def write(self, v_full=None, p=None, t=0.0):
         if self.tfilter is not None:
             if not self.tfilter or t < self.tfilter[0]:
                 return
             self.tfilter.pop(0)
         prob = self.prob
-        nv = prob.space.mesh.num_verts
         data = {}
         if v_full is not None:
             vf = np.asarray(v_full).reshape(-1, 2)
-            data["velocity"] = vf[:nv]          # vertex values of P2 field
+            data["velocity"] = self._vertex_velocity(vf)
         if p is not None:
             p = np.asarray(p).ravel()
             if prob.geo.ppin is not None and len(p) == prob.np_cond:
                 p = np.concatenate([p, [0.0]])
-            data["pressure"] = p
+            data["pressure"] = self._vertex_pressure(p)
         fname = f"{self.prefix}_{len(self.entries):06d}.vtu"
         write_vtu(fname, prob.space.mesh, data)
         self.entries.append((t, os.path.basename(fname)))

@@ -1,0 +1,79 @@
+"""I/O utilities: persistence, memoization, signals, paraview output."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dolfin_navier_scipy_tpu.utils import io as dou
+
+
+def test_npa_roundtrip(tmp_path):
+    v = np.random.rand(17, 1)
+    f = str(tmp_path / "vec")
+    dou.save_npa(v, f)
+    assert np.allclose(dou.load_npa(f), v)
+
+
+def test_spa_roundtrip(tmp_path):
+    import scipy.sparse as sps
+
+    m = sps.random(8, 9, density=0.3, format="csr")
+    f = str(tmp_path / "mat")
+    dou.save_spa(m, f)
+    assert abs(dou.load_spa(f) - m).max() < 1e-15
+
+
+def test_load_or_comp(tmp_path):
+    calls = []
+
+    def comp():
+        calls.append(1)
+        return np.arange(5.0)
+
+    f = str(tmp_path / "memo")
+    a = dou.load_or_comp(filestr=f, comprtn=comp, verbose=False)
+    b = dou.load_or_comp(filestr=f, comprtn=comp, verbose=False)
+    assert np.allclose(a, b) and len(calls) == 1
+
+
+def test_output_json_and_measure(tmp_path):
+    f = str(tmp_path / "sig.json")
+    tmesh = [0.0, 0.5, 1.0]
+    sig = [[0.0], [1.0], [2.0]]
+    dou.save_output_json(dict(tmesh=tmesh, outsig=sig), fstring=f)
+    with open(f) as fh:
+        d = json.load(fh)
+    assert d["datadict"]["outsig"] == sig
+    err = dou.meas_output_diff(sig, tmesh, lambda t: np.array([2 * t]))
+    assert err >= 0
+
+
+def test_timer_and_datastr():
+    info = {}
+    with dou.Timer("t1", timerinfo=info, verbose=False):
+        _ = sum(range(1000))
+    assert info["t1"] > 0
+    s = dou.get_datastr(time=1.0, meshp=2, nu=1e-3, Nts=10, semiexpl=True)
+    assert "semexp" in s and "nu1.00000e-03" in s
+
+
+def test_pvd_writer(tmp_path):
+    from dolfin_navier_scipy_tpu.models import drivencavity_problem
+    from dolfin_navier_scipy_tpu.utils.vtk import PVDWriter
+
+    for scheme, gs in (("TH", True), ("CR", False)):
+        prob = drivencavity_problem(N=4, nu=1e-2, scheme=scheme,
+                                    gradvsymmtrc=gs)
+        pref = str(tmp_path / f"flow_{scheme}")
+        w = PVDWriter(pref, prob)
+        v = np.random.rand(prob.nv_full)
+        p = np.random.rand(prob.np_cond)
+        w.write(v_full=v, p=p, t=0.0)
+        w.write(v_full=v, p=p, t=0.5)
+        w.close()
+        assert os.path.exists(pref + ".pvd")
+        assert os.path.exists(pref + "_000000.vtu")
+        txt = open(pref + ".pvd").read()
+        assert txt.count("DataSet") == 2
