@@ -64,11 +64,17 @@ def get_sysmats(problem="gen_bccont", scheme="TH", ppin=None, Re=None,
     )
     if prob.Arob is not None:
         stokesmatsc.update(Arob=prob.Arob, Brob=prob.Brob)
-    rhsd = dict(fv=np.asarray(prob.fv).reshape(-1, 1),
-                fp=np.asarray(prob.fp).reshape(-1, 1))
-    if not mergerhs:
-        raise NotImplementedError(
-            "split rhs bookkeeping is merged by construction here; "
-            "use mergerhs=True"
-        )
-    return femp, stokesmatsc, rhsd
+    if mergerhs:
+        rhsd = dict(fv=np.asarray(prob.fv).reshape(-1, 1),
+                    fp=np.asarray(prob.fp).reshape(-1, 1))
+        return femp, stokesmatsc, rhsd
+    # split bookkeeping (reference returns rhsd_vfrc + rhsd_stbc):
+    # body-force part vs Dirichlet-fold part
+    fv_body = np.asarray(prob.fv_body_full).ravel()[prob.invinds]
+    fp_body = np.asarray(prob.fp_body_full).ravel()[: prob.np_cond]
+    rhsd_vfrc = dict(fvc=fv_body.reshape(-1, 1),
+                     fpr=fp_body.reshape(-1, 1))
+    rhsd_stbc = dict(
+        fv=(np.asarray(prob.fv).ravel() - fv_body).reshape(-1, 1),
+        fp=(np.asarray(prob.fp).ravel() - fp_body).reshape(-1, 1))
+    return femp, stokesmatsc, rhsd_vfrc, rhsd_stbc

@@ -37,6 +37,8 @@ def solve_nse(
     check_ff_maxv=1e8,
     save_every=1,
     return_vp_dict=False,
+    return_dictofvelstrs=False,
+    data_prfx="data/traj",
     return_final_vp=True,
     vel_nwtn_stps=4, vel_nwtn_tol=1e-10, vel_pcrd_stps=2,
     paraviewoutput=False, vfileprfx="results/vel", prvoutpnts=None,
@@ -94,6 +96,21 @@ def solve_nse(
                            p=np.asarray(out["ps"][i]))
             for i, t in enumerate(out["times"])
         }
+    if return_dictofvelstrs and out["times"] is not None:
+        # file-backed trajectory dict {t: path} — the reference's
+        # mechanism for passing linearization points between runs
+        # (stokes_navier_utils.py:1057-1070, return_dictofvelstrs)
+        import os
+
+        from ..utils.io import save_npa
+
+        os.makedirs(os.path.dirname(data_prfx) or ".", exist_ok=True)
+        dictofvelstrs = {}
+        for i, t in enumerate(np.asarray(out["times"])):
+            pth = f"{data_prfx}__vel_t{float(t):.6f}"
+            save_npa(np.asarray(out["vs"][i]), pth)
+            dictofvelstrs[float(t)] = pth + ".npy"
+        out["dictofvelstrs"] = dictofvelstrs
     if paraviewoutput and out["times"] is not None:
         # decimated-trajectory Paraview series (the reference writes
         # inside the loop via dou.output_paraview; we write post-scan

@@ -156,6 +156,11 @@ def solve_steadystate_nse(
     only_stokes=False,
     return_vp=False,
     return_nwtnupd_norms=False,
+    useolddata=False,
+    clearprvdata=False,
+    save_data=False,
+    data_prfx="",
+    N=None,
     verbose=True,
     **kw,
 ):
@@ -164,10 +169,46 @@ def solve_steadystate_nse(
     Returns the velocity on the *full* dof set (boundary values appended,
     like the reference's ``_appbcs``, stokes_navier_utils.py:537) and,
     with ``return_vp``, the physical pressure.
+
+    ``useolddata``/``clearprvdata``/``save_data`` reproduce the
+    reference's filename-keyed velocity caching
+    (stokes_navier_utils.py:308-342): converged states are stored under
+    ``get_datastr`` keys and reloaded when the stored Newton-update norm
+    meets the tolerance.
     """
     import logging
 
+    from ..utils import io as dou
+
     log = logging.getLogger(__name__)
+
+    cdatstr = dou.get_datastr(time=None, meshp=N, nu=prob.nu, Nts=None,
+                              data_prfx=data_prfx)
+    if clearprvdata:
+        import glob as _glob
+        import os as _os
+
+        for fname in _glob.glob(cdatstr + "*__vel*"):
+            _os.remove(fname)
+    if useolddata:
+        try:
+            norm_nwtnupd = float(dou.load_npa(cdatstr + "__norm_nwtnupd"))
+            vel_k = dou.load_npa(cdatstr + "__vel")
+            if norm_nwtnupd < vel_nwtn_tol:
+                if verbose:
+                    log.info(f"loaded converged velocity from {cdatstr}")
+                if not return_vp:
+                    return (vel_k, [norm_nwtnupd]) \
+                        if return_nwtnupd_norms else vel_k
+                from .pfromv import get_pfromv
+
+                pfv = get_pfromv(v=vel_k.ravel()[prob.invinds], prob=prob)
+                ret = (vel_k, pfv)
+                return (ret, [norm_nwtnupd]) if return_nwtnupd_norms else ret
+        except (IOError, FileNotFoundError):
+            if verbose:
+                log.info("no old velocity data found")
+
     sk = prob.steady_kernel()
     norms = []
 
@@ -213,6 +254,10 @@ def solve_steadystate_nse(
                           UserWarning)
 
     vwc = np.asarray(_embed(sk, v_inner)).reshape(-1, 1)
+    if save_data:
+        dou.save_npa(vwc, cdatstr + "__vel")
+        dou.save_npa(np.atleast_1d(norms[-1] if norms else 0.0),
+                     cdatstr + "__norm_nwtnupd")
     ret = (vwc, np.asarray(p).reshape(-1, 1)) if return_vp else vwc
     if return_nwtnupd_norms:
         return ret, norms
