@@ -16,3 +16,6 @@ from .timeint import (  # noqa: F401
 )
 from .nse import solve_nse  # noqa: F401
 from .newton_ti import solve_nse_newton_ti  # noqa: F401
+from .sadpnt import apply_massinv  # noqa: F401
+from .convconts import expand_vp, get_bcinds, get_v_conv_conts  # noqa: F401
+from .krylov import KrylovCounter, solve_sadpnt_krylov  # noqa: F401

@@ -77,9 +77,10 @@ def _conv_data(b, v_lin_inner, picard):
 
 @partial(jax.jit,
          static_argnames=("picard", "gmres_restart", "gmres_maxiter",
-                          "gmres_tol"))
+                          "gmres_tol", "krylovini"))
 def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
-           gmres_restart=20, gmres_maxiter=3, gmres_tol=1e-12):
+           gmres_restart=20, gmres_maxiter=3, gmres_tol=1e-12,
+           krylovini="old"):
     """One Newton/Picard sweep over the whole time horizon.
 
     ``lin_traj (Nts+1, nin)``; ``umat (nin,k)/vmat (k,nin)`` static
@@ -114,7 +115,7 @@ def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
     elem0, rhs0 = _conv_data(b, lin_traj[0], picard)
 
     def step(carry, lin_n):
-        v_old, x_prev, elem_c, rhs_c = carry
+        v_old, x_prev, x_pprev, elem_c, rhs_c = carry
         elem_n, rhs_n = _conv_data(b, lin_n, picard)
         rhsv = (ops.e_matvec(v_old)
                 - 0.5 * dt * _n_matvec(b, elem_c, v_old)
@@ -122,19 +123,24 @@ def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
         if umat.shape[1]:
             rhsv = rhsv + 0.5 * dt * (umat @ (vmat @ v_old))
         rhs = jnp.concatenate([rhsv, b["fp"]])
+        # Krylov warm start: 'old' reuses the last solution, 'upd'
+        # linearly extrapolates (reference krylovini,
+        # stokes_navier_utils.py:1493-1503)
+        x0g = (2.0 * x_prev - x_pprev) if krylovini == "upd" else x_prev
         x, _ = jax.scipy.sparse.linalg.gmres(
             lambda y: sysmatvec(elem_n, y),
-            rhs, x0=x_prev, M=precond,
+            rhs, x0=x0g, M=precond,
             tol=gmres_tol, atol=0.0,
             restart=gmres_restart, maxiter=gmres_maxiter,
             solve_method="batched",
         )
         v_new = x[:nin]
         p_new = -x[nin:] / dt
-        return (v_new, x, elem_n, rhs_n), (v_new, p_new)
+        return (v_new, x, x_prev, elem_n, rhs_n), (v_new, p_new)
 
     x0 = jnp.concatenate([iniv, jnp.zeros((npp,))])
-    _, (vs, ps) = lax.scan(step, (iniv, x0, elem0, rhs0), lin_traj[1:])
+    _, (vs, ps) = lax.scan(step, (iniv, x0, x0, elem0, rhs0),
+                           lin_traj[1:])
     v_traj = jnp.concatenate([iniv[None], vs], axis=0)
     dv = v_traj - lin_traj
     nrm = jnp.sqrt(jnp.abs(
@@ -149,7 +155,7 @@ def solve_nse_newton_ti(
     umat=None, vmat=None,
     nsects=1, addfullsweep=True,
     controls=None, save_every=1, verbose=False,
-    gmres_restart=20, gmres_maxiter=3, **kw,
+    gmres_restart=20, gmres_maxiter=3, krylovini="old", **kw,
 ):
     """Newton-over-trajectories driver (reference semantics, in-memory).
 
@@ -195,7 +201,8 @@ def solve_nse_newton_ti(
         picard = k < vel_pcrd_stps
         v_traj, ps, nrm = _sweep(
             b, lin_traj, iniv, umat, vmat, picard=picard,
-            gmres_restart=gmres_restart, gmres_maxiter=gmres_maxiter)
+            gmres_restart=gmres_restart, gmres_maxiter=gmres_maxiter,
+            krylovini=krylovini)
         norms.append(float(nrm))
         if verbose:
             log.info(f"{'Picard' if picard else 'Newton'} sweep {k}: "

@@ -232,6 +232,14 @@ class InverseSaddleSolver:
         return x
 
 
+def apply_massinv(massmat, rhsa, output=None):
+    """``M^{-1} rhs`` — parity with ``lau.apply_massinv``
+    (used e.g. in tests/time_dep_nse_bigchannel.py:33)."""
+    rhs = np.asarray(_to_dense(rhsa))
+    out = spsla.spsolve(sps.csc_matrix(massmat), rhs)
+    return np.asarray(out).reshape(rhs.shape)
+
+
 # ---------------------------------------------------------------------------
 # host oracle / baseline
 # ---------------------------------------------------------------------------
