@@ -134,14 +134,13 @@ def main():
     t_setup = time.time()
     prob, dt = build()
     dev, _ = device_steps_per_sec(prob, dt, mode="fast")
-    dev_acc, _ = device_steps_per_sec(prob, dt, nsteps=300,
-                                      mode="accurate")
-    base = baseline_steps_per_sec(prob, dt)
     # cross-precision agreement over a short (laminar) horizon — over
     # long horizons at Re=100 trajectories separate chaotically for any
     # perturbation, so the long-run norm says nothing about solver error
-    _, v_fast = device_steps_per_sec(prob, dt, nsteps=150, mode="fast")
-    _, v_acc = device_steps_per_sec(prob, dt, nsteps=150, mode="accurate")
+    dev_acc, v_acc = device_steps_per_sec(prob, dt, nsteps=300,
+                                          mode="accurate")
+    _, v_fast = device_steps_per_sec(prob, dt, nsteps=300, mode="fast")
+    base = baseline_steps_per_sec(prob, dt)
     denom = max(float(np.linalg.norm(v_acc)), 1e-30)
     drift = float(np.linalg.norm(v_fast - v_acc)) / denom
     print(json.dumps({

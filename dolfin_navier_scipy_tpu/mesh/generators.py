@@ -100,11 +100,14 @@ def channel_with_cylinder(
     bg = np.stack([X.ravel(), Y.ravel()], axis=1)
 
     # refine a box around the cylinder + near wake with an extra fine grid
+    # (linspace with snapped endpoints: arange would overshoot the channel
+    # boundary at some levels and break the boundary tagging)
     fine_h = h0 / 2
     fx0, fx1 = cx - 3.2 * radius, cx + 9 * radius
-    fy0, fy1 = 0.0, height
-    fxs = np.arange(fx0, fx1 + fine_h / 2, fine_h)
-    fys = np.arange(fy0, fy1 + fine_h / 2, fine_h)
+    nfx = int(round((fx1 - fx0) / fine_h))
+    nfy = int(round(height / fine_h))
+    fxs = np.linspace(fx0, fx0 + nfx * fine_h, nfx + 1)
+    fys = np.linspace(0.0, height, nfy + 1)
     FX, FY = np.meshgrid(fxs, fys, indexing="ij")
     fine = np.stack([FX.ravel(), FY.ravel()], axis=1)
     # drop fine points that coincide with coarse grid lines (dedupe later)

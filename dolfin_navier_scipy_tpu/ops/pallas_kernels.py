@@ -20,30 +20,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _vecmat_kernel(x_ref, KT_ref, y_ref):
-    y_ref[:] = jnp.dot(x_ref[:], KT_ref[:],
-                       preferred_element_type=jnp.float32)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    y_ref[:] += jnp.dot(x_ref[:], KT_ref[:],
+                        preferred_element_type=jnp.float32)
 
 
-def vecmat_pallas(x, KT, tile=512, interpret=False):
-    """``(x (m,) @ KT (m, n)) -> (n,)`` f32, column-tiled streaming.
+def vecmat_pallas(x, KT, tile_n=512, tile_m=1024, interpret=False):
+    """``(x (m,) @ KT (m, n)) -> (n,)`` f32 with 2D tiling: columns over
+    the outer grid axis, the contraction over the inner (accumulating in
+    the VMEM-resident output block).
 
-    ``n`` must be a multiple of ``tile``; pass ``KT = K.T`` to compute
-    ``K @ x`` for a symmetric-storage-free matvec.
+    ``n % tile_n == 0`` and ``m % tile_m == 0``; pass ``KT = K.T`` to
+    compute ``K @ x``.
     """
     m, n = KT.shape
-    assert n % tile == 0, (n, tile)
-    y = pl.pallas_call(
-        _vecmat_kernel,
-        grid=(n // tile,),
-        in_specs=[
-            pl.BlockSpec((1, m), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
-        interpret=interpret,
-    )(x.reshape(1, m), KT)
+    assert n % tile_n == 0 and m % tile_m == 0, (KT.shape, tile_n, tile_m)
+    # NOTE: under global x64 the BlockSpec index maps trace to i64 scalars
+    # which Mosaic cannot legalize ("func.return (i64, i64)"); the kernel
+    # is pure f32, so trace it with x64 disabled.
+    with jax.enable_x64(False):
+        y = pl.pallas_call(
+            _vecmat_kernel,
+            grid=(n // tile_n, m // tile_m),
+            in_specs=[
+                pl.BlockSpec((1, tile_m), lambda i, k: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_m, tile_n), lambda i, k: (k, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_n), lambda i, k: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+            interpret=interpret,
+        )(x.reshape(1, m), KT)
     return y.reshape(n)

@@ -197,19 +197,48 @@ def solve_nse_newton_ti(
 
     log = logging.getLogger(__name__)
     norms, ps = [], None
-    for k in range(vel_pcrd_stps + vel_nwtn_stps):
-        picard = k < vel_pcrd_stps
-        v_traj, ps, nrm = _sweep(
-            b, lin_traj, iniv, umat, vmat, picard=picard,
-            gmres_restart=gmres_restart, gmres_maxiter=gmres_maxiter,
-            krylovini=krylovini)
-        norms.append(float(nrm))
-        if verbose:
-            log.info(f"{'Picard' if picard else 'Newton'} sweep {k}: "
-                     f"update norm {float(nrm):e}")
-        lin_traj = v_traj
-        if not picard and float(nrm) < vel_nwtn_tol:
-            break
+
+    def sweeps(lin_traj, iniv, nwtn_stps, pcrd_stps):
+        """Picard->Newton sweeps over one (sub)trajectory."""
+        ps = None
+        for k in range(pcrd_stps + nwtn_stps):
+            picard = k < pcrd_stps
+            v_traj, ps, nrm = _sweep(
+                b, lin_traj, iniv, umat, vmat, picard=picard,
+                gmres_restart=gmres_restart, gmres_maxiter=gmres_maxiter,
+                krylovini=krylovini)
+            norms.append(float(nrm))
+            if verbose:
+                log.info(f"{'Picard' if picard else 'Newton'} sweep {k}: "
+                         f"update norm {float(nrm):e}")
+            lin_traj = v_traj
+            if not picard and float(nrm) < vel_nwtn_tol:
+                break
+        return lin_traj, ps
+
+    if nsects <= 1:
+        lin_traj, ps = sweeps(lin_traj, iniv, vel_nwtn_stps, vel_pcrd_stps)
+    else:
+        # temporal sectioning: Newton confined to time segments
+        # (reference nsects, stokes_navier_utils.py:1076-1087) with the
+        # segments chained through their end states, then an optional
+        # full sweep (addfullsweep)
+        bounds = np.linspace(0, nts, nsects + 1).astype(int)
+        parts_v, parts_p = [], []
+        seg_ini = iniv
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            seg_lin = lin_traj[s0:s1 + 1]
+            seg_traj, seg_ps = sweeps(seg_lin, seg_ini,
+                                      vel_nwtn_stps, vel_pcrd_stps)
+            parts_v.append(seg_traj[(1 if s0 else 0):])
+            parts_p.append(seg_ps)
+            seg_ini = seg_traj[-1]
+        # the first segment keeps its initial state; later segments drop
+        # their first entry (duplicate of the previous segment's end)
+        lin_traj = jnp.concatenate(parts_v, axis=0)
+        ps = jnp.concatenate(parts_p, axis=0)
+        if addfullsweep:
+            lin_traj, ps = sweeps(lin_traj, iniv, vel_nwtn_stps, 0)
 
     p_traj = jnp.concatenate(
         [jnp.asarray(np.asarray(inip).ravel())[None], ps], axis=0)

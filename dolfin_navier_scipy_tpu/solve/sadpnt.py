@@ -167,9 +167,9 @@ class InverseSaddleSolver:
 
         if _leaves is not None:
             (self.Kinv, self.A_ell, self.J_ell, self.JT_ell,
-             self.res_ops) = _leaves
+             self.res_ops, self.KinvT) = _leaves
             (self.nv, self.np, self.refine, self.inv_dtype,
-             self.dtype) = _aux
+             self.dtype, self.use_pallas, self.n_pad) = _aux
             return
 
         # optional element-level (Kop, Jop) pair for the refinement
@@ -191,6 +191,22 @@ class InverseSaddleSolver:
             on_tpu = jax.default_backend() not in ("cpu",)
             inv_dtype = jnp.float32 if on_tpu else dtype
         self.inv_dtype = inv_dtype
+        # Pallas inverse-apply: 1.5x the XLA dense matvec on v5e (531 vs
+        # 346 GB/s measured); opt-in via DNS_TPU_PALLAS=1, f32-on-TPU only
+        import os
+
+        self.use_pallas = (os.environ.get("DNS_TPU_PALLAS", "0") == "1"
+                           and inv_dtype == jnp.float32
+                           and jax.default_backend() not in ("cpu",))
+        if self.use_pallas:
+            npad = ((nv + npp + 1023) // 1024) * 1024
+            KinvTp = np.zeros((npad, npad), np.float32)
+            KinvTp[: nv + npp, : nv + npp] = Kinv.T
+            self.KinvT = jnp.asarray(KinvTp)
+            self.n_pad = npad
+        else:
+            self.KinvT = None
+            self.n_pad = 0
         self.Kinv = jnp.asarray(Kinv, inv_dtype)
         if refine is None:
             refine = 3 if inv_dtype == jnp.float32 else 0
@@ -203,12 +219,24 @@ class InverseSaddleSolver:
 
     def tree_flatten(self):
         return ((self.Kinv, self.A_ell, self.J_ell, self.JT_ell,
-                 self.res_ops),
-                (self.nv, self.np, self.refine, self.inv_dtype, self.dtype))
+                 self.res_ops, self.KinvT),
+                (self.nv, self.np, self.refine, self.inv_dtype, self.dtype,
+                 self.use_pallas, self.n_pad))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(_leaves=children, _aux=aux)
+
+    def _apply_inv(self, r):
+        """``Kinv @ r`` in ``inv_dtype`` (Pallas fast path when enabled)."""
+        if self.use_pallas:
+            from ..ops.pallas_kernels import vecmat_pallas
+
+            n = self.nv + self.np
+            rp = jnp.zeros((self.n_pad,), jnp.float32)
+            rp = rp.at[:n].set(r.astype(jnp.float32))
+            return vecmat_pallas(rp, self.KinvT)[:n]
+        return self.Kinv @ r.astype(self.inv_dtype)
 
     def _K_matvec(self, x):
         v, q = x[: self.nv], x[self.nv:]
@@ -225,10 +253,10 @@ class InverseSaddleSolver:
         """Plain (non-jitted) method: call from within jitted code that
         received this solver as a pytree argument."""
         rhs = jnp.concatenate([rhsv.reshape(-1), rhsp.reshape(-1)])
-        x = (self.Kinv @ rhs.astype(self.inv_dtype)).astype(self.dtype)
+        x = self._apply_inv(rhs).astype(self.dtype)
         for _ in range(self.refine):
             r = rhs - self._K_matvec(x)
-            x = x + (self.Kinv @ r.astype(self.inv_dtype)).astype(self.dtype)
+            x = x + self._apply_inv(r).astype(self.dtype)
         return x
 
 

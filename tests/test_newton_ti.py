@@ -67,3 +67,22 @@ def test_linearization_warm_start(cavity):
                      lin_vel_point=np.asarray(first["v_traj"]),
                      vel_nwtn_tol=1e-13, save_every=None)
     assert warm["nwtn_norms"][0] < 1e-10
+
+
+def test_nsects_sectioning(cavity):
+    """Temporal sectioning (reference nsects) matches the full sweep."""
+    prob, vss = cavity
+    rng = np.random.default_rng(9)
+    v0 = np.asarray(vss) + 0.03 * rng.normal(size=len(vss))
+    trange = np.linspace(0, 0.2, 41)
+    full = solve_nse(prob=prob, trange=trange, iniv=v0,
+                     treat_nonl_explicit=False, vel_nwtn_stps=6,
+                     vel_nwtn_tol=1e-12, save_every=None)
+    sect = solve_nse(prob=prob, trange=trange, iniv=v0,
+                     treat_nonl_explicit=False, vel_nwtn_stps=6,
+                     vel_nwtn_tol=1e-12, nsects=4, addfullsweep=True,
+                     save_every=None)
+    dv = np.asarray(full["v"]) - np.asarray(sect["v"])
+    nrm = float(np.sqrt(abs(dv @ (prob.Mc @ dv))))
+    assert nrm < 1e-9, nrm
+    assert sect["v_traj"].shape == full["v_traj"].shape

@@ -1,0 +1,69 @@
+"""Scale-out layer: dof-sharded SpMV and ensemble stepping on the
+8-device virtual CPU mesh (SURVEY section 2.10: the reference has no
+parallelism at all — these are the TPU-native equivalents)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from dolfin_navier_scipy_tpu.models import drivencavity_problem
+from dolfin_navier_scipy_tpu.parallel.domain import ShardedEllMatrix
+from dolfin_navier_scipy_tpu.parallel.ensemble import (
+    make_ensemble_cnab_step,
+)
+from dolfin_navier_scipy_tpu.solve import cnab, solve_steadystate_nse
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return drivencavity_problem(N=8, nu=1e-2)
+
+
+def test_sharded_spmv_matches(prob):
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    mesh = Mesh(np.array(devs[:8]), ("dof",))
+    with mesh:
+        sA = ShardedEllMatrix(prob.Mc_ell, mesh, axis="dof")
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=prob.Mc.shape[1]))
+        y = sA.matvec(x)
+        assert np.allclose(np.asarray(y), prob.Mc @ np.asarray(x),
+                           atol=1e-12)
+
+
+def test_ensemble_step_matches_serial(prob):
+    """The batch-sharded CNAB step equals the single-flow step."""
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("batch",))
+    dt = 1e-3
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = np.asarray(vss).ravel()[prob.invinds]
+    with mesh:
+        step, place = make_ensemble_cnab_step(prob, dt, mesh)
+        B = 16
+        rng = np.random.default_rng(5)
+        V0 = np.stack([v0 * (1 + 0.01 * k) for k in range(B)])
+        V = place(V0)
+        NFC = place(np.zeros_like(V0))
+        V1, NFC1 = step(V, NFC)
+        V1 = np.asarray(V1)
+    # serial reference for a couple of ensemble members
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    ops = _build_ops(prob, dt, theta=0.5)
+    kern = prob.conv_kernel
+    invinds = jnp.asarray(prob.invinds)
+    v_bc = jnp.asarray(prob.bc_full_vec())
+    fv = jnp.asarray(np.asarray(prob.fv).ravel())
+    fp = jnp.asarray(np.asarray(prob.fp).ravel())
+    for k in (0, 7, 15):
+        v = jnp.asarray(V0[k])
+        vf = v_bc.at[invinds].set(v)
+        nfc = -kern.vector(vf)[invinds]
+        rhs = ops.e_matvec(v) + 0.5 * dt * (3 * nfc - 0.0) + dt * fv
+        sol = ops.solver.solve(rhs, fp)
+        assert np.allclose(V1[k], np.asarray(sol[:ops.nin]), atol=1e-11)
