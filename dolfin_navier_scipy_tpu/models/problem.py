@@ -81,6 +81,7 @@ class NSEProblem:
 
     def __post_init__(self):
         self._conv_kernel = None
+        self._conv_kernel_f32 = None
         self._mc_ell = None
         self._steady_kernel = None
         self._element_ops = None
@@ -101,6 +102,16 @@ class NSEProblem:
         if self._conv_kernel is None:
             self._conv_kernel = ConvectionKernel(self.ctx)
         return self._conv_kernel
+
+    @property
+    def conv_kernel_f32(self) -> ConvectionKernel:
+        """f32 convection kernel (the integrators' fast mode)."""
+        import jax.numpy as jnp
+
+        if self._conv_kernel_f32 is None:
+            self._conv_kernel_f32 = ConvectionKernel(self.ctx,
+                                                     dtype=jnp.float32)
+        return self._conv_kernel_f32
 
     @property
     def Mc_ell(self):

@@ -56,10 +56,25 @@ def solve_nse(
 
     if iniv is None:
         if start_ssstokes:
-            vss, pss = solve_steadystate_nse(
-                prob, only_stokes=True, return_vp=True, verbose=verbose)
-            iniv = vss.ravel()[prob.invinds]
-            inip = pss.ravel()
+            ncond = len(prob.invinds) + prob.np_cond
+            import jax as _jax
+
+            if ncond > 20000 and _jax.default_backend() != "cpu":
+                # device LU runs out of VMEM beyond ~25k rows; the one-off
+                # Stokes init goes through host SuperLU instead
+                from .sadpnt import solve_sadpnt_host
+
+                vp = solve_sadpnt_host(
+                    amat=prob.Ac, jmat=prob.Jc, jmatT=prob.JTc,
+                    rhsv=np.asarray(prob.fv).ravel(),
+                    rhsp=np.asarray(prob.fp).ravel())
+                iniv = vp[: len(prob.invinds), 0]
+                inip = -vp[len(prob.invinds):, 0]
+            else:
+                vss, pss = solve_steadystate_nse(
+                    prob, only_stokes=True, return_vp=True, verbose=verbose)
+                iniv = vss.ravel()[prob.invinds]
+                inip = pss.ravel()
         else:
             raise ValueError("provide `iniv` or set `start_ssstokes`")
     else:

@@ -10,11 +10,15 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .sadpnt import solve_sadpnt
+from .sadpnt import solve_sadpnt_host
 
 
 def get_pfromv(v=None, prob=None, stokes_flow=False, **kw):
-    """``v`` is the *inner* (condensed) velocity; returns ``p (np_cond, 1)``."""
+    """``v`` is the *inner* (condensed) velocity; returns ``p (np_cond, 1)``.
+
+    A one-off setup solve -> host SuperLU (size-independent; the device
+    LU primitive runs out of VMEM beyond ~25k rows).
+    """
     v = np.asarray(v).ravel()
     if stokes_flow:
         rhs_con = 0.0
@@ -22,5 +26,6 @@ def get_pfromv(v=None, prob=None, stokes_flow=False, **kw):
         v_full = prob.embed(jnp.asarray(v))
         rhs_con = np.asarray(prob.conv_kernel.vector(v_full))[prob.invinds]
     rhsv = prob.fv.ravel() - prob.Ac @ v - rhs_con
-    vp = solve_sadpnt(amat=prob.Mc, jmat=prob.Jc, jmatT=prob.JTc, rhsv=rhsv)
+    vp = solve_sadpnt_host(amat=prob.Mc, jmat=prob.Jc, jmatT=prob.JTc,
+                           rhsv=rhsv)
     return -vp[prob.Jc.shape[1]:, :]

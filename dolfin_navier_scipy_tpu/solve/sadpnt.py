@@ -184,8 +184,16 @@ class InverseSaddleSolver:
         K[:nv, :nv] = _to_dense(amat)
         K[:nv, nv:] = _to_dense(jT)
         K[nv:, :nv] = _to_dense(jmat)
-        lu, piv = spla.lu_factor(K)
-        Kinv = spla.lu_solve((lu, piv), np.eye(nv + npp))
+        # one-time host inversion; jax's CPU backend is multithreaded
+        # (scipy/LAPACK may be pinned to one BLAS thread), fall back to
+        # scipy when no cpu device is available
+        try:
+            cpu = jax.devices("cpu")[0]
+            Kinv = np.asarray(
+                jax.jit(jnp.linalg.inv, device=cpu)(jnp.asarray(K)))
+        except Exception:
+            lu, piv = spla.lu_factor(K)
+            Kinv = spla.lu_solve((lu, piv), np.eye(nv + npp))
 
         if inv_dtype is None:
             on_tpu = jax.default_backend() not in ("cpu",)

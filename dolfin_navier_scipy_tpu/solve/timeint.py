@@ -87,11 +87,21 @@ class TimeIntOps:
         return obj
 
 
-def _build_ops(prob, dt, theta, inv_dtype=None, refine=None):
+def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
+               precision="accurate"):
+    """``precision='fast'``: f32 kernels + no refinement — the
+    production-CFD mode (~14x the scipy baseline on v5e); 'accurate'
+    keeps f64 operators and f64-refines the f32 inverse."""
+    import jax.numpy as _jnp
     import scipy.sparse as sps
 
     coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
-    aff = getattr(prob, "affine_ops", lambda: None)()
+    if precision == "fast":
+        aff = getattr(prob, "affine_ops", lambda *_: None)(_jnp.float32)
+        if refine is None:
+            refine = 0
+    else:
+        aff = getattr(prob, "affine_ops", lambda *_: None)()
     if aff is not None:
         # affine-factorized fused matvecs: constant-weight MXU matmuls
         # + per-element 2x2 geometry contractions (the fast path)
@@ -126,6 +136,12 @@ def _control_blocks(prob, controls):
     stencils = [jnp.asarray(np.asarray(c.stencil)) for c in controls]
     return dict(dofs=jnp.asarray(dofs), Abc=Abc, Jbc=Jbc, Mbc=Mbc,
                 stencils=stencils)
+
+
+def _kern(prob, precision):
+    if precision == "fast" and hasattr(prob, "conv_kernel_f32"):
+        return prob.conv_kernel_f32
+    return prob.conv_kernel
 
 
 def _consts(prob, controls):
@@ -302,7 +318,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
          controls: Optional[List[DirichletControl]] = None,
          check_ff_maxv=1e8, save_every=1,
          predictor="IMEX-Euler",
-         inv_dtype=None, refine=None, ops=None, verbose=False, **kw):
+         inv_dtype=None, refine=None, ops=None, precision="accurate",
+         verbose=False, **kw):
     """Crank-Nicolson / Adams-Bashforth-2 (reference time_int_utils.py:23).
 
     Returns a dict with the final ``(v, p)``, the blow-up flag and the
@@ -312,10 +329,10 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
     dt = float(trange[1] - trange[0])
     if ops is None:
         ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype,
-                         refine=refine)
+                         refine=refine, precision=precision)
     nin = len(prob.invinds)
     cn = _consts(prob, controls)
-    bundle = dict(ops=ops, kern=prob.conv_kernel, cn=cn)
+    bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn)
     has_c = bool(controls)
     f_vdp_b = _make_f_vdp(stokes_flow, nin)
     f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,
@@ -379,17 +396,18 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
           f_tdp=None, g_tdp=None, dynamic_rhs=None, dynamic_rhs_memory=None,
           controls: Optional[List[DirichletControl]] = None,
           check_ff_maxv=1e8, save_every=1,
-          inv_dtype=None, refine=None, ops=None, verbose=False, **kw):
+          inv_dtype=None, refine=None, ops=None, precision="accurate",
+          verbose=False, **kw):
     """Semi-implicit BDF2 (reference ``sbdftwo``, time_int_utils.py:260):
     implicit ``M + 2/3 dt A``, extrapolated convection ``2 N(v_c)-N(v_p)``."""
     trange = np.asarray(trange)
     dt = float(trange[1] - trange[0])
     if ops is None:
         ops = _build_ops(prob, dt, theta=2.0 / 3.0, inv_dtype=inv_dtype,
-                         refine=refine)
+                         refine=refine, precision=precision)
     nin = len(prob.invinds)
     cn = _consts(prob, controls)
-    bundle = dict(ops=ops, kern=prob.conv_kernel, cn=cn)
+    bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn)
     has_c = bool(controls)
     f_vdp_b = _make_f_vdp(stokes_flow, nin)
     f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,

@@ -112,3 +112,20 @@ def test_semi_implicit_euler_decay(cavity):
     )
     norms = np.linalg.norm(np.asarray(out["vs"]), axis=1)
     assert np.all(np.diff(norms) < 0)
+
+
+def test_fast_precision_mode(cavity):
+    """precision='fast' (f32 kernels, no refinement) stays close to the
+    f64 path over a short horizon."""
+    prob, vss = cavity
+    trange = np.linspace(0, 0.2, 101)
+    fvbase = jnp.asarray(np.asarray(prob.fv).ravel())
+    pert = jnp.asarray(np.sin(np.arange(len(prob.invinds)) * 0.21))
+    f_tdp = lambda t: fvbase + 0.1 * jnp.sin(5 * t) * pert  # noqa: E731
+    o64 = cnab(trange=trange, prob=prob, inivel=vss, f_tdp=f_tdp,
+               save_every=None)
+    o32 = cnab(trange=trange, prob=prob, inivel=vss, f_tdp=f_tdp,
+               precision="fast", save_every=None)
+    rel = (np.linalg.norm(np.asarray(o32["v"]) - np.asarray(o64["v"]))
+           / np.linalg.norm(np.asarray(o64["v"])))
+    assert rel < 5e-5, rel
