@@ -7,7 +7,7 @@ The mesh is the input to the geometry compiler
 """
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -9,7 +9,7 @@ reference (:1362, :1375); here the lift/drag residual trick works in 3D
 as well, so the functionals are available.
 """
 
-import numpy as np
+
 
 from ..mesh.generators import channel_with_cylinder
 from ..mesh.tetmesh import extrude_trimesh

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..fem.dofmap import TaylorHoodSpace
 from ..ops.assemble import AssemblyContext, assemble_stokes, assemble_rhs
-from ..ops.condense import condense_sysmats, unroll_dbcs
+from ..ops.condense import condense_sysmats
 from ..ops.convection import ConvectionKernel
 from ..ops.sparse import ell_from_scipy_fast
 

@@ -3,17 +3,18 @@ formulation for P2/P1 (and CR/DG0) operators on straight triangles.
 
 On affine elements every FEM operator factorizes as
 ``sum_r geo_r[e] * (constant reference matrix)``: applying M/A/J/J^T
-reduces to a few LARGE constant-weight matmuls (MXU) plus tiny unrolled
-per-element 2x2 geometry products (VPU) around one gather and one
-scatter.  Two TPU-specific tunings (both profiled on v5e):
+reduces to a few LARGE constant-weight matmuls (MXU) plus small
+per-element geometry contractions around one gather and one scatter.
+TPU tunings (profiled on v5e):
 
-* **element blocking**: the contraction dim of the constant matmuls is
-  only ``2*nvpc`` (= 12 for P2), wasting MXU lanes; packing BLK elements
-  per matmul row (``X (nc/BLK, BLK*12) @ kron(I_BLK, W)``) recovers ~44x
-  on emulated-f64 matmuls,
-* **no batched small einsums**: per-element 2x2 contractions are
-  unrolled into broadcast multiply-adds (batched (2,2) dots lower to
-  pathological emulated MXU passes in f64).
+* **element blocking (f64 only)**: the contraction dim of the constant
+  matmuls is only ``dim*nvpc`` (= 12 for 2D P2), wasting MXU lanes when
+  f64 is emulated; packing BLK elements per matmul row
+  (``X (nc/BLK, BLK*12) @ kron(I_BLK, W)``) recovers ~44x on the f64
+  matmuls.  In f32 the native path is faster unblocked.
+* **geometry contractions stay einsums**: hand-unrolled broadcasts
+  produce small-trailing-dim intermediates that get tile-padded ~256x;
+  XLA's einsum picks workable layouts.
 
 Dirichlet condensation is realized by index masking (trash row +
 zero-padded columns), as in :mod:`.elementop`.

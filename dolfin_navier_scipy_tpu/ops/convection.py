@@ -16,7 +16,7 @@ Host (numpy) twins are provided as correctness oracles for the tests
 """
 
 import numpy as np
-import scipy.sparse as sps
+
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ import scipy.sparse as sps
 import scipy.sparse.linalg as spsla
 
 import jax
-import jax.numpy as jnp
+
 
 
 class KrylovCounter:
