@@ -215,7 +215,9 @@ class InverseSaddleSolver:
         else:
             self.KinvT = None
             self.n_pad = 0
-        self.Kinv = jnp.asarray(Kinv, inv_dtype)
+        # cast on host before the device transfer (avoids staging the full
+        # f64 inverse in HBM: 2x memory spike at large sizes)
+        self.Kinv = jnp.asarray(np.asarray(Kinv, dtype=inv_dtype))
         if refine is None:
             refine = 3 if inv_dtype == jnp.float32 else 0
         self.refine = refine
