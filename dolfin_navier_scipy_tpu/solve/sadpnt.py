@@ -184,16 +184,28 @@ class InverseSaddleSolver:
         K[:nv, :nv] = _to_dense(amat)
         K[:nv, nv:] = _to_dense(jT)
         K[nv:, :nv] = _to_dense(jmat)
-        # one-time host inversion; jax's CPU backend is multithreaded
-        # (scipy/LAPACK may be pinned to one BLAS thread), fall back to
-        # scipy when no cpu device is available
-        try:
-            cpu = jax.devices("cpu")[0]
-            Kinv = np.asarray(
-                jax.jit(jnp.linalg.inv, device=cpu)(jnp.asarray(K)))
-        except Exception:
-            lu, piv = spla.lu_factor(K)
-            Kinv = spla.lu_solve((lu, piv), np.eye(nv + npp))
+        if inv_dtype is None:
+            on_tpu_pre = jax.default_backend() not in ("cpu",)
+        else:
+            on_tpu_pre = (inv_dtype == jnp.float32
+                          and jax.default_backend() not in ("cpu",))
+        n_all = nv + npp
+        if on_tpu_pre and n_all <= 20000:
+            # the inverse only needs f32 quality (it preconditions the
+            # f64 iterative refinement) -> invert ON the TPU in f32:
+            # seconds on the MXU vs minutes of host LAPACK.  The device
+            # LU primitive caps out near ~25k rows (VMEM), hence the
+            # size guard.
+            Kinv = np.asarray(jnp.linalg.inv(jnp.asarray(K, jnp.float32)))
+        else:
+            # host inversion (f64); threaded LAPACK when available
+            try:
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    Kinv = np.asarray(jnp.linalg.inv(jnp.asarray(K)))
+            except Exception:
+                lu, piv = spla.lu_factor(K)
+                Kinv = spla.lu_solve((lu, piv), np.eye(n_all))
 
         if inv_dtype is None:
             on_tpu = jax.default_backend() not in ("cpu",)
