@@ -184,28 +184,19 @@ class InverseSaddleSolver:
         K[:nv, :nv] = _to_dense(amat)
         K[:nv, nv:] = _to_dense(jT)
         K[nv:, :nv] = _to_dense(jmat)
-        if inv_dtype is None:
-            on_tpu_pre = jax.default_backend() not in ("cpu",)
-        else:
-            on_tpu_pre = (inv_dtype == jnp.float32
-                          and jax.default_backend() not in ("cpu",))
+        # One-time host inversion (f64, threaded LAPACK when jax's CPU
+        # backend is reachable).  NOTE: computing the inverse on the TPU
+        # in f32 looked attractive (seconds vs minutes) but made the
+        # subsequent Kinv matvecs ~8x slower (value-dependent; measured
+        # 487 vs 3937 steps/s) — do not resurrect without profiling.
         n_all = nv + npp
-        if on_tpu_pre and n_all <= 20000:
-            # the inverse only needs f32 quality (it preconditions the
-            # f64 iterative refinement) -> invert ON the TPU in f32:
-            # seconds on the MXU vs minutes of host LAPACK.  The device
-            # LU primitive caps out near ~25k rows (VMEM), hence the
-            # size guard.
-            Kinv = np.asarray(jnp.linalg.inv(jnp.asarray(K, jnp.float32)))
-        else:
-            # host inversion (f64); threaded LAPACK when available
-            try:
-                cpu = jax.devices("cpu")[0]
-                with jax.default_device(cpu):
-                    Kinv = np.asarray(jnp.linalg.inv(jnp.asarray(K)))
-            except Exception:
-                lu, piv = spla.lu_factor(K)
-                Kinv = spla.lu_solve((lu, piv), np.eye(n_all))
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                Kinv = np.asarray(jnp.linalg.inv(jnp.asarray(K)))
+        except Exception:
+            lu, piv = spla.lu_factor(K)
+            Kinv = spla.lu_solve((lu, piv), np.eye(n_all))
 
         if inv_dtype is None:
             on_tpu = jax.default_backend() not in ("cpu",)
