@@ -88,12 +88,29 @@ class TimeIntOps:
 
 
 def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
-               precision="accurate"):
+               precision="accurate", linsolver="auto"):
     """``precision='fast'``: f32 kernels + no refinement — the
-    production-CFD mode (~14x the scipy baseline on v5e); 'accurate'
-    keeps f64 operators and f64-refines the f32 inverse."""
+    production-CFD mode on v5e; 'accurate' keeps f64 operators and
+    f64-refines the f32 inverse.
+
+    ``linsolver``: 'dense' (precomputed saddle inverse; O(n^2) memory,
+    best below ~20k dofs), 'krylov' (matrix-free GMRES with a
+    SIMPLE-type Schur preconditioner; scales to large meshes), or
+    'auto' (dense below 20k dofs).
+    """
     import jax.numpy as _jnp
     import scipy.sparse as sps
+
+    if linsolver == "auto":
+        n_all = len(prob.invinds) + prob.np_cond
+        linsolver = "dense" if n_all <= 20000 else "krylov"
+    if linsolver == "krylov":
+        from .krylov_saddle import build_krylov_ops
+
+        return build_krylov_ops(
+            prob, dt, theta=theta,
+            dtype=_jnp.float32 if precision == "fast" else None,
+            tol=1e-7 if precision == "fast" else 1e-11)
 
     coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
     if precision == "fast":

@@ -20,3 +20,29 @@ def test_gmres_matches_direct():
                               rhsv=rhsv)
     assert len(stats) > 0 and stats[-1] < 1e-10
     assert np.allclose(x_kry, x_dir, atol=1e-7)
+
+
+def test_krylov_cnab_matches_dense():
+    """CNAB with the matrix-free Krylov saddle solver matches the dense
+    path (the large-mesh configuration)."""
+    import jax.numpy as jnp
+
+    from dolfin_navier_scipy_tpu.solve import cnab, solve_steadystate_nse
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = vss.ravel()[prob.invinds]
+    trange = np.linspace(0, 0.1, 41)
+    fvb = jnp.asarray(np.asarray(prob.fv).ravel())
+    pert = jnp.asarray(np.cos(np.arange(len(prob.invinds)) * 0.13))
+    f_tdp = lambda t: fvb + 0.1 * jnp.sin(7 * t) * pert  # noqa: E731
+    od = cnab(trange=trange, prob=prob, inivel=v0, f_tdp=f_tdp,
+              save_every=None)
+    ok_ops = _build_ops(prob, float(trange[1] - trange[0]), theta=0.5,
+                        linsolver="krylov")
+    ok = cnab(trange=trange, prob=prob, inivel=v0, f_tdp=f_tdp,
+              ops=ok_ops, save_every=None)
+    rel = (np.linalg.norm(np.asarray(ok["v"]) - np.asarray(od["v"]))
+           / np.linalg.norm(np.asarray(od["v"])))
+    assert rel < 1e-8, rel
