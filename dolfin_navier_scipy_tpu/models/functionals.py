@@ -43,10 +43,13 @@ class LiftDragSurfForce:
         p = np.asarray(p).ravel()
         conv = np.asarray(prob.conv_kernel.vector(v_full)).ravel()
         JTfull = prob.full["JT"]
+        fv = (np.zeros_like(v_full) if prob.fv_body_full is None
+              else np.asarray(prob.fv_body_full).ravel())
         return (
             prob.full["A"] @ v_full
             + conv
             - JTfull @ p
+            - fv
         )
 
     def evaliftdragforce(self, v_full, p):

@@ -256,7 +256,10 @@ def solve_steadystate_nse(
     vwc = np.asarray(_embed(sk, v_inner)).reshape(-1, 1)
     if save_data:
         dou.save_npa(vwc, cdatstr + "__vel")
-        dou.save_npa(np.atleast_1d(norms[-1] if norms else 0.0),
+        # no Newton step ran (only_stokes / Picard-only): store inf like
+        # the reference, so useolddata cannot mistake the state for a
+        # converged Newton solution (0.0 would pass any tolerance)
+        dou.save_npa(np.atleast_1d(norms[-1] if norms else np.inf),
                      cdatstr + "__norm_nwtnupd")
     ret = (vwc, np.asarray(p).reshape(-1, 1)) if return_vp else vwc
     if return_nwtnupd_norms:

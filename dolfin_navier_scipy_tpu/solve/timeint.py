@@ -279,7 +279,8 @@ def _heun_bootstrap(prob, t0, t1, v0, p0, f_vdp, f_tdp, g_tdp,
     nfc_n = f_vdp(embed(v_n, cvals_n))
     return dict(v=v_n, p=p_n, nfc_c=nfc_c, nfc_n=nfc_n, fv_n=fv_n,
                 dfv_n=dfv_n, drm=drm, cvals=cvals_n, cmems=cmems,
-                bfv=bfv_n, mbc=mbc_n, v_pred=tv_n, p_pred=tp_n)
+                bfv=bfv_n, mbc=mbc_n, mbc_c=mbc_c,
+                v_pred=tv_n, p_pred=tp_n)
 
 
 @partial(jax.jit, static_argnames=("step", "save_every", "nsteps"))
@@ -439,13 +440,12 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
                          f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
                          controls, cn)
 
-    # previous-step control mass term for the 3-level mbc correction
-    if controls:
-        _, _, _, _, mbc_p0 = _eval_controls(
-            controls, cn, trange[0], _embed(cn, True, v0, bs["cvals"]),
-            p0, bs["cmems"], "abtwo")
-    else:
-        mbc_p0 = 0.0
+    # previous-step control mass term for the 3-level mbc correction: the
+    # bootstrap's t0 value (mode 'init') — re-evaluating the ufuncs in
+    # 'abtwo' mode here would hand stateful controllers (get_heunab_lti)
+    # a negative curdt = t0 - t1 (the reference uses the initial bc mass
+    # term from _onestepheun, time_int_utils.py:333-345)
+    mbc_p0 = bs["mbc_c"] if controls else 0.0
 
     def step(b, c, t):
         ops_, cn_ = b["ops"], b["cn"]

@@ -20,10 +20,17 @@ import scipy.sparse as sps
 
 def get_datastr(time=None, meshp=None, nu=None, Nts=None, data_prfx="",
                 semiexpl=False):
-    """Parameter-encoding cache keys (stokes_navier_utils.py:21-37)."""
-    base = (f"{data_prfx}time{time}_nu{nu:.5e}_mesh{meshp}_Nts{Nts}"
-            if nu is not None else f"{data_prfx}time{time}")
-    return base + ("_semexp" if semiexpl else "")
+    """Parameter-encoding cache keys, format-compatible with the
+    reference's ``get_datastr_snu`` (stokes_navier_utils.py:21-37): all
+    fields always appear (``nuNone``/``NtsNone`` when unset), so runs
+    with different meshes or step counts never collide on one file."""
+    sestr = "_semexp" if semiexpl else ""
+    nustr = "_nuNone" if nu is None else "_nu{0:.3e}".format(nu)
+    ntsstr = "_NtsNone" if Nts is None else "_Nts{0}".format(Nts)
+    timstr = ("timeNone" if time is None or isinstance(time, str)
+              else "time{0:.5e}".format(time))
+    mshstr = "_mesh{0}".format(meshp)
+    return data_prfx + timstr + nustr + mshstr + ntsstr + sestr
 
 
 # -- array persistence ---------------------------------------------------------

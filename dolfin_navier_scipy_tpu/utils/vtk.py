@@ -28,19 +28,22 @@ def write_vtu(fname, mesh, pointdata=None):
         f.write(f'<Piece NumberOfPoints="{nv}" NumberOfCells="{nc}">\n')
         f.write('<Points><DataArray type="Float64" NumberOfComponents="3" '
                 'format="ascii">\n')
-        for x, y in verts:
-            f.write(f"{x} {y} 0.0\n")
+        gdim = verts.shape[1] if hasattr(verts, "shape") else len(verts[0])
+        for row in verts:
+            z = 0.0 if gdim == 2 else row[2]
+            f.write(f"{row[0]} {row[1]} {z}\n")
         f.write("</DataArray></Points>\n<Cells>\n")
         f.write('<DataArray type="Int32" Name="connectivity" format="ascii">\n')
+        npc = len(cells[0]) if nc else 3      # 3 = triangle, 4 = tet
         for c in cells:
-            f.write(f"{c[0]} {c[1]} {c[2]}\n")
+            f.write(" ".join(str(int(ci)) for ci in c) + "\n")
         f.write('</DataArray>\n<DataArray type="Int32" Name="offsets" '
                 'format="ascii">\n')
         for k in range(1, nc + 1):
-            f.write(f"{3 * k}\n")
+            f.write(f"{npc * k}\n")
         f.write('</DataArray>\n<DataArray type="UInt8" Name="types" '
                 'format="ascii">\n')
-        f.write("5\n" * nc)
+        f.write(("5\n" if npc == 3 else "10\n") * nc)
         f.write("</DataArray>\n</Cells>\n")
         f.write("<PointData>\n")
         for name, arr in (pointdata or {}).items():
@@ -79,8 +82,10 @@ class PVDWriter:
         nv = mesh.num_verts
         if getattr(space, "scheme", "TH") == "TH":
             return vf[:nv]
+        if getattr(space, "dim", 2) != 2:
+            raise NotImplementedError("CR vertex averaging is 2D-only")
         # CR: accumulate edge values onto their two vertices
-        acc = np.zeros((nv, 2))
+        acc = np.zeros((nv, vf.shape[1]))
         cnt = np.zeros(nv)
         for (a, b), node in space.edge_to_node.items():
             acc[a] += vf[node]
@@ -97,7 +102,8 @@ class PVDWriter:
         mesh = space.mesh
         acc = np.zeros(mesh.num_verts)
         cnt = np.zeros(mesh.num_verts)
-        np.add.at(acc, mesh.cells.ravel(), np.repeat(p, 3))
+        np.add.at(acc, mesh.cells.ravel(),
+                  np.repeat(p, mesh.cells.shape[1]))
         np.add.at(cnt, mesh.cells.ravel(), 1)
         return acc / np.maximum(cnt, 1)
 
@@ -109,7 +115,8 @@ class PVDWriter:
         prob = self.prob
         data = {}
         if v_full is not None:
-            vf = np.asarray(v_full).reshape(-1, 2)
+            dim = getattr(prob.space, "dim", 2)
+            vf = np.asarray(v_full).reshape(-1, dim)
             data["velocity"] = self._vertex_velocity(vf)
         if p is not None:
             p = np.asarray(p).ravel()

@@ -56,7 +56,11 @@ def test_timer_and_datastr():
         _ = sum(range(1000))
     assert info["t1"] > 0
     s = dou.get_datastr(time=1.0, meshp=2, nu=1e-3, Nts=10, semiexpl=True)
-    assert "semexp" in s and "nu1.00000e-03" in s
+    # reference format (get_datastr_snu, stokes_navier_utils.py:21-30)
+    assert s == "time1.00000e+00_nu1.000e-03_mesh2_Nts10_semexp"
+    # nu=None must not collapse the key (mesh/Nts still distinguish runs)
+    s2 = dou.get_datastr(time=1.0, meshp=2, nu=None, Nts=10)
+    assert "nuNone" in s2 and "mesh2" in s2 and "Nts10" in s2
 
 
 def test_pvd_writer(tmp_path):
