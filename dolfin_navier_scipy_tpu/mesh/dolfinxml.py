@@ -42,34 +42,69 @@ def read_dolfin_xml(path) -> TriMesh:
     return TriMesh(verts, cells)
 
 
+def dolfin_edge_numbering(cells):
+    """Reconstruct the facet (edge) numbering of the reference's
+    ``*_facet_region`` files.
+
+    The bundled files (written by the gmsh→dolfin conversion pipeline the
+    reference used, consumed at problem_setups.py:827) index facets in
+    **lexicographic order of their ascending vertex pairs** — verified
+    geometrically against every bundled mesh: all inflow edges land on
+    the inlet plane, all lift-drag edges on the cylinder circle, etc.
+    (see tests/test_reference_meshes.py).
+
+    Returns ``(nedges, 2)`` vertex pairs, row ``i`` = facet ``i``.
+    """
+    tris = np.sort(np.asarray(cells), axis=1)
+    e = np.concatenate([tris[:, [1, 2]], tris[:, [0, 2]], tris[:, [0, 1]]])
+    return np.unique(e, axis=0)
+
+
 def read_facet_region(mesh: TriMesh, path) -> TriMesh:
     """Attach facet tags from a dolfin facet-region ``MeshFunction`` XML.
 
-    The file stores per-mesh-entity values indexed by dolfin's internal
-    facet numbering, which we reconstruct with dolfin's convention: facets
-    are the sorted unique edges in lexicographic order of their sorted
-    vertex tuples... **not stable across dolfin versions**, therefore the
-    file format variant handled here is the common one that stores
-    ``local_entity`` + ``cell_index`` (mesh_value_collection).
+    Handles both on-disk variants:
+
+    * ``mesh_function`` over facets (what all of the reference's bundled
+      ``*_facet_region.xml.gz`` files are): per-facet values indexed by
+      dolfin's internal facet numbering, reconstructed from the mesh
+      topology via :func:`dolfin_edge_numbering`;
+    * ``mesh_value_collection``: ``(cell_index, local_entity, value)``
+      triples.
+
+    Tags land in ``mesh.facet_tags``: value -> ``(k, 2)`` sorted vertex
+    pairs.  The untagged value 0 is kept out (interior facets).
     """
     with _open_maybe_gz(path) as f:
         root = ET.parse(f).getroot()
-    mvc = root.find("mesh_value_collection")
-    if mvc is None:
-        # plain mesh_function over facets: values indexed by facet number;
-        # dolfin numbers facets by creation order which we cannot know —
-        # reject loudly rather than guess.
-        raise ValueError(
-            f"{path}: only mesh_value_collection facet files are supported"
-        )
-    from ..fem.reference import LOCAL_EDGES
-
     tags = {}
-    for item in mvc:
-        cell = int(item.get("cell_index"))
-        loc = int(item.get("local_entity"))
-        val = int(item.get("value"))
-        edge = mesh.cells[cell, LOCAL_EDGES[loc]]
-        tags.setdefault(val, []).append(np.sort(edge))
+    mf = root.find("mesh_function")
+    if mf is not None:
+        if mf.get("dim") not in (None, "1"):
+            raise ValueError(f"{path}: facet mesh_function must have dim=1")
+        edges = dolfin_edge_numbering(mesh.cells)
+        size = int(mf.get("size", len(edges)))
+        if size != len(edges):
+            raise ValueError(
+                f"{path}: {size} entities vs {len(edges)} mesh edges — "
+                "facet file does not match this mesh")
+        for item in mf:
+            val = int(item.get("value"))
+            if val == 0:
+                continue
+            tags.setdefault(val, []).append(edges[int(item.get("index"))])
+    else:
+        mvc = root.find("mesh_value_collection")
+        if mvc is None:
+            raise ValueError(
+                f"{path}: neither mesh_function nor mesh_value_collection")
+        from ..fem.reference import LOCAL_EDGES
+
+        for item in mvc:
+            cell = int(item.get("cell_index"))
+            loc = int(item.get("local_entity"))
+            val = int(item.get("value"))
+            edge = mesh.cells[cell, LOCAL_EDGES[loc]]
+            tags.setdefault(val, []).append(np.sort(edge))
     mesh.facet_tags = {k: np.array(v) for k, v in tags.items()}
     return mesh

@@ -31,14 +31,28 @@ def get_sysmats(problem="gen_bccont", scheme="TH", ppin=None, Re=None,
             nu=nu, Re=Re, charvel=charvel,
         )
     elif problem in ("cylinderwake", "gen_bccont", "cylinder_rot"):
+        mesh = meshparams.get("mesh")
+        geodata = meshparams.get("geodata")
+        if meshparams.get("strtomeshfile"):
+            # the reference's file-based meshparams
+            # (problem_setups.py:774-830): dolfin XML mesh + facet-region
+            # MeshFunction + JSON geometry descriptor
+            from ..mesh.dolfinxml import read_dolfin_xml, read_facet_region
+
+            mesh = read_dolfin_xml(meshparams["strtomeshfile"])
+            if meshparams.get("strtophysicalregions"):
+                read_facet_region(mesh, meshparams["strtophysicalregions"])
+            geodata = geodata or meshparams.get("strtobcsobs")
         prob = cylinderwake_problem(
             level=meshparams.get("level", 1),
-            mesh=meshparams.get("mesh"),
-            geodata=meshparams.get("geodata"),
+            mesh=mesh,
+            geodata=geodata,
             nu=nu, Re=Re, charvel=charvel, scheme=scheme,
             gradvsymmtrc=gradvsymmtrc,
             bccontrol=bccontrol,
-            movingwallcntrl=(problem == "cylinder_rot"),
+            movingwallcntrl=kw.get("movingwallcntrl",
+                                   problem == "cylinder_rot"),
+            rotcntrl_omega=kw.get("rotcntrl_omega", 0.0),
         )
     else:
         raise KeyError(f"unknown problem class {problem}")

@@ -146,6 +146,77 @@ def _m_norm(sk, dv):
     return jnp.sqrt(jnp.abs(dv @ sk.Mc.matvec(dv)))
 
 
+def _host_steady(prob, vel_pcrd_stps, vel_pcrd_tol, vel_nwtn_stps,
+                 vel_nwtn_tol, vel_start_nwtn, only_stokes, verbose, log):
+    """Sparse-splu twin of the device pipeline: per iteration one host
+    convection assembly + one ``splu`` of the sparse saddle (the
+    reference's recipe, stokes_navier_utils.py:438-525).  This is the
+    scalable path — the device kernel's dense LU is capped at ~25k rows
+    on TPU and is O(n^3) on the (single-core) host."""
+    import scipy.sparse as sps
+
+    from .convconts import get_v_conv_conts
+    from .sadpnt import host_saddle_factorized
+
+    fv = np.asarray(prob.fv).ravel()
+    fp = np.asarray(prob.fp).ravel()
+    Mc = sps.csr_matrix(prob.Mc)
+    norms = []
+
+    def mnorm(dv):
+        return float(np.sqrt(abs(dv @ (Mc @ dv))))
+
+    if vel_start_nwtn is None or only_stokes:
+        vp = host_saddle_factorized(prob.Ac, prob.Jc, prob.JTc)(fv, fp)
+        v_inner = vp[: len(fv), 0]
+        p = -vp[len(fv):, 0]
+    else:
+        v_inner = np.asarray(vel_start_nwtn).ravel()[prob.invinds]
+        p = np.zeros(prob.np_cond)
+
+    if not only_stokes:
+        for k in range(vel_pcrd_stps):
+            v_full = np.asarray(prob.embed(v_inner))
+            convc, _, rhsv_conbc = get_v_conv_conts(
+                vvec=v_full, prob=prob, Picard=True)
+            vp = host_saddle_factorized(
+                prob.Ac + convc, prob.Jc, prob.JTc)(
+                    fv + np.asarray(rhsv_conbc).ravel(), fp)
+            v_new = vp[: len(fv), 0]
+            p = -vp[len(fv):, 0]
+            upd = mnorm(v_new - v_inner)
+            v_inner = v_new
+            if verbose:
+                log.info(f"Picard iteration {k + 1} -- update norm {upd:e}")
+            if upd < vel_pcrd_tol:
+                break
+        converged = False
+        for k in range(vel_nwtn_stps):
+            v_full = np.asarray(prob.embed(v_inner))
+            convc, rhs_con, rhsv_conbc = get_v_conv_conts(
+                vvec=v_full, prob=prob, Picard=False)
+            vp = host_saddle_factorized(
+                prob.Ac + convc, prob.Jc, prob.JTc)(
+                    fv + np.asarray(rhs_con).ravel()
+                    + np.asarray(rhsv_conbc).ravel(), fp)
+            v_new = vp[: len(fv), 0]
+            p = -vp[len(fv):, 0]
+            upd = mnorm(v_new - v_inner)
+            norms.append(upd)
+            v_inner = v_new
+            if verbose:
+                log.info(f"Newton iteration {k + 1} -- update norm {upd:e}")
+            if upd < vel_nwtn_tol:
+                converged = True
+                break
+        if vel_nwtn_stps > 0 and not converged:
+            import warnings
+
+            warnings.warn("Steady State NSE: Newton has not converged",
+                          UserWarning)
+    return np.asarray(prob.embed(v_inner)), p, norms
+
+
 def solve_steadystate_nse(
     prob,
     vel_pcrd_stps=10,
@@ -162,6 +233,7 @@ def solve_steadystate_nse(
     data_prfx="",
     N=None,
     verbose=True,
+    linsolver="auto",
     **kw,
 ):
     """Steady NSE on a :class:`~..models.problem.NSEProblem`.
@@ -175,6 +247,10 @@ def solve_steadystate_nse(
     (stokes_navier_utils.py:308-342): converged states are stored under
     ``get_datastr`` keys and reloaded when the stored Newton-update norm
     meets the tolerance.
+
+    ``linsolver``: ``'dense'`` (on-device dense LU per iteration, the
+    TPU fast path below ~25k rows), ``'host-sparse'`` (scipy splu per
+    iteration — scalable to any mesh), or ``'auto'``.
     """
     import logging
 
@@ -208,6 +284,24 @@ def solve_steadystate_nse(
         except (IOError, FileNotFoundError):
             if verbose:
                 log.info("no old velocity data found")
+
+    if linsolver == "auto":
+        ncond = len(prob.invinds) + prob.np_cond
+        on_cpu = jax.default_backend() == "cpu"
+        linsolver = ("host-sparse"
+                     if (on_cpu and ncond > 6000) or ncond > 25000
+                     else "dense")
+    if linsolver == "host-sparse":
+        vwc_np, p_np, norms = _host_steady(
+            prob, vel_pcrd_stps, vel_pcrd_tol, vel_nwtn_stps,
+            vel_nwtn_tol, vel_start_nwtn, only_stokes, verbose, log)
+        vwc = vwc_np.reshape(-1, 1)
+        if save_data:
+            dou.save_npa(vwc, cdatstr + "__vel")
+            dou.save_npa(np.atleast_1d(norms[-1] if norms else np.inf),
+                         cdatstr + "__norm_nwtnupd")
+        ret = (vwc, p_np.reshape(-1, 1)) if return_vp else vwc
+        return (ret, norms) if return_nwtnupd_norms else ret
 
     sk = prob.steady_kernel()
     norms = []
