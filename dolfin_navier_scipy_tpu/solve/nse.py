@@ -14,11 +14,39 @@ The fully-implicit Newton-in-time path (reference :1304-1587) lives in
 :mod:`.newton_ti`.
 """
 
+import glob
+import os
+
 import numpy as np
 
 from .pfromv import get_pfromv
 from .steady import solve_steadystate_nse
 from . import timeint
+
+
+def _carry_to_host(carry):
+    """Scan carry -> plain numpy dict (arrays only; scalar/None fields are
+    reconstructed by :func:`_carry_from_npz`)."""
+    return {k: np.asarray(v) for k, v in carry.items()
+            if hasattr(v, "dtype")}
+
+
+_CARRY_DEFAULTS = dict(drm=None, cvals=None, cmems=(), bfv=0.0,
+                       mbc=0.0, mbc_p=0.0)
+
+
+def _carry_from_npz(path, scheme):
+    """Rebuild a scan carry from an ``.npz`` checkpoint (uncontrolled
+    runs; controlled runs keep their carry in memory)."""
+    dat = np.load(path)
+    keys = (("v", "p", "nfc", "fv", "dfv", "flag") if scheme == "cnab"
+            else ("v", "v_p", "p", "nfc_p", "fv", "dfv", "flag"))
+    carry = {k: dat[k] for k in keys}
+    defaults = ("drm", "cvals", "cmems", "bfv", "mbc") if scheme == "cnab" \
+        else ("drm", "cvals", "cmems", "mbc", "mbc_p")
+    for k in defaults:
+        carry[k] = _CARRY_DEFAULTS[k]
+    return carry
 
 
 def solve_nse(
@@ -39,6 +67,8 @@ def solve_nse(
     return_vp_dict=False,
     return_dictofvelstrs=False,
     data_prfx="data/traj",
+    save_data=False, useolddata=False, clearprvdata=False,
+    checkpoint_every=None,
     return_final_vp=True,
     vel_nwtn_stps=4, vel_nwtn_tol=1e-10, vel_pcrd_stps=2,
     paraviewoutput=False, vfileprfx="results/vel", prvoutpnts=None,
@@ -97,13 +127,91 @@ def solve_nse(
             controls=controls, save_every=save_every, verbose=verbose, **kw)
 
     scheme = {"cnab": timeint.cnab, "sbdf2": timeint.sbdf2}[time_int_scheme]
-    out = scheme(
-        trange=trange, prob=prob, inivel=iniv, inip=inip,
-        stokes_flow=stokes_flow,
-        f_tdp=f_tdp, g_tdp=g_tdp,
-        dynamic_rhs=dynamic_rhs, dynamic_rhs_memory=dynamic_rhs_memory,
-        controls=controls, check_ff_maxv=check_ff_maxv,
-        save_every=save_every, verbose=verbose, **kw)
+
+    def integrate(tpiece, resume_carry=None):
+        return scheme(
+            trange=tpiece, prob=prob, inivel=iniv, inip=inip,
+            stokes_flow=stokes_flow,
+            f_tdp=f_tdp, g_tdp=g_tdp,
+            dynamic_rhs=dynamic_rhs, dynamic_rhs_memory=dynamic_rhs_memory,
+            controls=controls, check_ff_maxv=check_ff_maxv,
+            save_every=save_every, resume_carry=resume_carry,
+            verbose=verbose, **kw)
+
+    if save_data or useolddata or clearprvdata:
+        # trajectory checkpoint store keyed like the reference's per-step
+        # cache (get_datastr_snu, stokes_navier_utils.py:21-37,:950-1070);
+        # checkpoints carry the full scan state, so a resumed run
+        # reproduces the uninterrupted trajectory EXACTLY (the reference
+        # re-bootstraps from the last stored velocity)
+        from ..utils.io import get_datastr
+
+        if controls or dynamic_rhs is not None:
+            raise NotImplementedError(
+                "disk checkpointing stores only the uncontrolled scan "
+                "carry; for controlled runs pass resume_carry in memory")
+        nts = len(trange) - 1
+
+        def ckpt_path(t):
+            key = get_datastr(time=float(t), meshp=prob.nv_full, nu=prob.nu,
+                              Nts=nts, data_prfx=data_prfx, semiexpl=True)
+            return key + "__carry.npz"
+
+        if clearprvdata:
+            pat = get_datastr(time=None, meshp=prob.nv_full, nu=prob.nu,
+                              Nts=nts, data_prfx=data_prfx, semiexpl=True)
+            for f in glob.glob(pat.replace("timeNone", "time*")
+                               + "__carry.npz"):
+                os.remove(f)
+
+        k_ck = checkpoint_every or max(1, nts // 4)
+        # checkpoint indices: multiples of k_ck (skipping 0/1 where the
+        # bootstrap lives), always including the final step
+        ckinds = [i for i in range(k_ck, nts, k_ck) if i >= 2] + [nts]
+
+        i_start, carry = 0, None
+        if useolddata:
+            for i in sorted(ckinds, reverse=True):
+                pth = ckpt_path(trange[i])
+                if os.path.exists(pth):
+                    carry = _carry_from_npz(pth, time_int_scheme)
+                    i_start = i
+                    break
+
+        pieces = []
+        bounds = [i for i in ckinds if i > i_start]
+        if not bounds:
+            # the stored final checkpoint already covers the horizon
+            v = carry["v"]
+            return dict(v=v, p=carry["p"], ffflag=bool(carry["flag"]),
+                        times=None, vs=None, ps=None, carry=carry,
+                        iniv=iniv, inip=inip, resumed_from=float(
+                            trange[i_start]))
+        lo = i_start
+        for hi in bounds:
+            out = integrate(trange[lo:hi + 1],
+                            resume_carry=carry)
+            carry = out["carry"]
+            if save_data:
+                os.makedirs(os.path.dirname(ckpt_path(trange[hi])) or ".",
+                            exist_ok=True)
+                np.savez(ckpt_path(trange[hi]), **_carry_to_host(carry))
+            pieces.append(out)
+            lo = hi
+        out = pieces[-1]
+        if len(pieces) > 1 and out["times"] is not None:
+            out["times"] = np.concatenate(
+                [np.asarray(p["times"]) for p in pieces
+                 if p["times"] is not None])
+            out["vs"] = np.concatenate(
+                [np.asarray(p["vs"]) for p in pieces
+                 if p["vs"] is not None])
+            out["ps"] = np.concatenate(
+                [np.asarray(p["ps"]) for p in pieces
+                 if p["ps"] is not None])
+            out["ffflag"] = any(p["ffflag"] for p in pieces)
+    else:
+        out = integrate(trange)
     out["iniv"], out["inip"] = iniv, inip
     if return_vp_dict and out["times"] is not None:
         out["vp_dict"] = {
@@ -115,8 +223,6 @@ def solve_nse(
         # file-backed trajectory dict {t: path} — the reference's
         # mechanism for passing linearization points between runs
         # (stokes_navier_utils.py:1057-1070, return_dictofvelstrs)
-        import os
-
         from ..utils.io import save_npa
 
         os.makedirs(os.path.dirname(data_prfx) or ".", exist_ok=True)

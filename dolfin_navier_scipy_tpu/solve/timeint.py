@@ -319,6 +319,15 @@ def _run_scan(step, bundle, carry, ts, save_every):
     return carry, ys, tout
 
 
+def _restore_carry(carry):
+    """Re-device a stored scan carry: array leaves -> jnp, scalars/None
+    kept as-is (they are static constants inside the scan body)."""
+    def _restore(val):
+        return jnp.asarray(val) if hasattr(val, "dtype") else val
+
+    return jax.tree_util.tree_map(_restore, carry)
+
+
 def _make_f_vdp(stokes_flow, nin):
     if stokes_flow:
         def f_vdp(bundle, v_full):
@@ -337,11 +346,18 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
          check_ff_maxv=1e8, save_every=1,
          predictor="IMEX-Euler",
          inv_dtype=None, refine=None, ops=None, precision="accurate",
+         resume_carry=None,
          verbose=False, **kw):
     """Crank-Nicolson / Adams-Bashforth-2 (reference time_int_utils.py:23).
 
-    Returns a dict with the final ``(v, p)``, the blow-up flag and the
-    decimated trajectory ``(times, vs, ps)`` (device arrays).
+    Returns a dict with the final ``(v, p)``, the blow-up flag, the
+    decimated trajectory ``(times, vs, ps)`` (device arrays), and the
+    final scan ``carry``.  Passing a stored carry back via
+    ``resume_carry`` continues the AB2 recursion *exactly* (no
+    re-bootstrap) with ``trange[0]`` being the carry's time point — the
+    checkpoint/resume mechanism (the reference restarts with a fresh
+    Heun step from the last stored state, stokes_navier_utils.py:950-1070;
+    the carried ``nfc`` makes our resume bit-exact instead).
     """
     trange = np.asarray(trange)
     dt = float(trange[1] - trange[0])
@@ -360,10 +376,13 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
     p0 = (jnp.zeros((npc,)) if inip is None
           else jnp.asarray(np.asarray(inip).ravel()))
 
-    bs = _heun_bootstrap(prob, trange[0], trange[1], v0, p0,
-                         lambda vf: f_vdp_b(bundle, vf),
-                         f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
-                         controls, cn, predictor=predictor)
+    if resume_carry is None:
+        bs = _heun_bootstrap(prob, trange[0], trange[1], v0, p0,
+                             lambda vf: f_vdp_b(bundle, vf),
+                             f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
+                             controls, cn, predictor=predictor)
+    else:
+        bs = None
 
     def step(b, c, t):
         ops_, cn_ = b["ops"], b["cn"]
@@ -392,20 +411,25 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                     drm=drm_n, cvals=cvals_n, cmems=cmems, bfv=bfv_n,
                     mbc=mbc_n, flag=flag)
 
-    # the carried "previous" convection entering the first AB2 step is the
-    # one at v0 (reference hands nfc_c from _onestepheun into the loop,
-    # time_int_utils.py:78+:112)
-    carry = dict(v=bs["v"], p=bs["p"], nfc=bs["nfc_c"], fv=bs["fv_n"],
-                 dfv=bs["dfv_n"], drm=bs["drm"], cvals=bs["cvals"],
-                 cmems=bs["cmems"], bfv=bs["bfv"], mbc=bs["mbc"],
-                 flag=jnp.asarray(False))
-    carry, ys, tout = _run_scan(step, bundle, carry, trange[2:], save_every)
+    if resume_carry is None:
+        # the carried "previous" convection entering the first AB2 step is
+        # the one at v0 (reference hands nfc_c from _onestepheun into the
+        # loop, time_int_utils.py:78+:112)
+        carry = dict(v=bs["v"], p=bs["p"], nfc=bs["nfc_c"], fv=bs["fv_n"],
+                     dfv=bs["dfv_n"], drm=bs["drm"], cvals=bs["cvals"],
+                     cmems=bs["cmems"], bfv=bs["bfv"], mbc=bs["mbc"],
+                     flag=jnp.asarray(False))
+        ts = trange[2:]
+    else:
+        carry = _restore_carry(resume_carry)
+        ts = trange[1:]
+    carry, ys, tout = _run_scan(step, bundle, carry, ts, save_every)
 
     return dict(
         v=carry["v"], p=carry["p"], ffflag=bool(carry["flag"]),
         times=tout, vs=None if ys is None else ys[0],
         ps=None if ys is None else ys[1],
-        bootstrap=bs, ops=ops,
+        bootstrap=bs, ops=ops, carry=carry,
     )
 
 
@@ -415,9 +439,13 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
           controls: Optional[List[DirichletControl]] = None,
           check_ff_maxv=1e8, save_every=1,
           inv_dtype=None, refine=None, ops=None, precision="accurate",
+          resume_carry=None,
           verbose=False, **kw):
     """Semi-implicit BDF2 (reference ``sbdftwo``, time_int_utils.py:260):
-    implicit ``M + 2/3 dt A``, extrapolated convection ``2 N(v_c)-N(v_p)``."""
+    implicit ``M + 2/3 dt A``, extrapolated convection ``2 N(v_c)-N(v_p)``.
+
+    ``resume_carry`` continues the BDF2 recursion exactly from a stored
+    scan carry (see :func:`cnab`)."""
     trange = np.asarray(trange)
     dt = float(trange[1] - trange[0])
     if ops is None:
@@ -435,17 +463,21 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
     p0 = (jnp.zeros((npc,)) if inip is None
           else jnp.asarray(np.asarray(inip).ravel()))
 
-    bs = _heun_bootstrap(prob, trange[0], trange[1], v0, p0,
-                         lambda vf: f_vdp_b(bundle, vf),
-                         f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
-                         controls, cn)
+    if resume_carry is None:
+        bs = _heun_bootstrap(prob, trange[0], trange[1], v0, p0,
+                             lambda vf: f_vdp_b(bundle, vf),
+                             f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
+                             controls, cn)
 
-    # previous-step control mass term for the 3-level mbc correction: the
-    # bootstrap's t0 value (mode 'init') — re-evaluating the ufuncs in
-    # 'abtwo' mode here would hand stateful controllers (get_heunab_lti)
-    # a negative curdt = t0 - t1 (the reference uses the initial bc mass
-    # term from _onestepheun, time_int_utils.py:333-345)
-    mbc_p0 = bs["mbc_c"] if controls else 0.0
+        # previous-step control mass term for the 3-level mbc correction:
+        # the bootstrap's t0 value (mode 'init') — re-evaluating the
+        # ufuncs in 'abtwo' mode here would hand stateful controllers
+        # (get_heunab_lti) a negative curdt = t0 - t1 (the reference uses
+        # the initial bc mass term from _onestepheun,
+        # time_int_utils.py:333-345)
+        mbc_p0 = bs["mbc_c"] if controls else 0.0
+    else:
+        bs = None
 
     def step(b, c, t):
         ops_, cn_ = b["ops"], b["cn"]
@@ -477,16 +509,21 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
                     cvals=cvals_n, cmems=cmems, mbc=mbc_n,
                     mbc_p=mbc_pn, flag=flag)
 
-    carry = dict(v=bs["v"], v_p=v0, p=bs["p"], nfc_p=bs["nfc_c"],
-                 fv=bs["fv_n"], dfv=bs["dfv_n"], drm=bs["drm"],
-                 cvals=bs["cvals"], cmems=bs["cmems"], mbc=bs["mbc"],
-                 mbc_p=mbc_p0, flag=jnp.asarray(False))
-    carry, ys, tout = _run_scan(step, bundle, carry, trange[2:], save_every)
+    if resume_carry is None:
+        carry = dict(v=bs["v"], v_p=v0, p=bs["p"], nfc_p=bs["nfc_c"],
+                     fv=bs["fv_n"], dfv=bs["dfv_n"], drm=bs["drm"],
+                     cvals=bs["cvals"], cmems=bs["cmems"], mbc=bs["mbc"],
+                     mbc_p=mbc_p0, flag=jnp.asarray(False))
+        ts = trange[2:]
+    else:
+        carry = _restore_carry(resume_carry)
+        ts = trange[1:]
+    carry, ys, tout = _run_scan(step, bundle, carry, ts, save_every)
     return dict(
         v=carry["v"], p=carry["p"], ffflag=bool(carry["flag"]),
         times=tout, vs=None if ys is None else ys[0],
         ps=None if ys is None else ys[1],
-        bootstrap=bs, ops=ops,
+        bootstrap=bs, ops=ops, carry=carry,
     )
 
 

@@ -66,3 +66,49 @@ def test_stokes_flow_mode(prob):
                     save_every=None)
     assert np.abs(np.asarray(out["v"])
                   - vst.ravel()[prob.invinds]).max() < 1e-9
+
+
+def test_checkpoint_resume_exact(prob, tmp_path):
+    """Kill-and-resume reproduces the uninterrupted trajectory EXACTLY:
+    checkpoints store the full scan carry (the reference re-bootstraps
+    from the last stored state, stokes_navier_utils.py:950-1070, and is
+    only O(dt^2)-consistent across the restart)."""
+    kw = dict(prob=prob, t0=0.0, tE=0.1, Nts=20, start_ssstokes=True,
+              save_every=5)
+    ref = solve_nse(**kw)
+
+    # full run with checkpointing every 5 steps
+    prfx = str(tmp_path / "ck")
+    out = solve_nse(save_data=True, checkpoint_every=5,
+                    data_prfx=prfx, **kw)
+    # sectioning changes only the decimation grid, not the dynamics:
+    # final states agree exactly
+    assert np.allclose(np.asarray(out["v"]), np.asarray(ref["v"]),
+                       rtol=0, atol=1e-13)
+
+    # simulate a crash: delete the later checkpoints, resume from t=0.05
+    import glob as _glob
+
+    cks = sorted(_glob.glob(prfx + "*__carry.npz"), key=os.path.getmtime)
+    assert len(cks) == 4                      # steps 5, 10, 15, 20
+    for f in cks[2:]:
+        os.remove(f)
+    res = solve_nse(useolddata=True, save_data=True, checkpoint_every=5,
+                    data_prfx=prfx, **kw)
+    assert res.get("resumed_from") is None    # resumed mid-way, re-ran tail
+    assert np.allclose(np.asarray(res["v"]), np.asarray(ref["v"]),
+                       rtol=0, atol=1e-13)
+    # the resumed tail reproduces the uninterrupted (same-grid) run's
+    # decimated trajectory exactly
+    assert np.allclose(np.asarray(res["vs"][-2:]), np.asarray(out["vs"][-2:]),
+                       rtol=0, atol=1e-14)
+
+    # resume with everything present: returns the final state directly
+    res2 = solve_nse(useolddata=True, data_prfx=prfx, **kw)
+    assert res2["resumed_from"] == 0.1
+    assert np.allclose(np.asarray(res2["v"]), np.asarray(ref["v"]),
+                       rtol=0, atol=1e-13)
+
+    # clearprvdata wipes the store
+    solve_nse(clearprvdata=True, data_prfx=prfx, **kw)
+    assert not _glob.glob(prfx + "*__carry.npz")
