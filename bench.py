@@ -10,30 +10,50 @@ The baseline twin reproduces the reference's per-step recipe
 all steps + per-step convection re-assembly (host, vectorized numpy —
 *faster* than the reference's FEniCS round trip, so the reported
 speedup is conservative).
+
+The device loop is the INCREMENT-form CNAB step (solve/timeint.py): all
+per-step arithmetic is f32 on the MXU; because the saddle solve targets
+the O(dt)-sized increment, the f64-carried trajectory matches the f64
+splu trajectory to ~1e-9 relative — there is no separate slow "f64
+mode" anymore.  ``accurate`` (f64 carry) and ``fast`` (f32 carry) modes
+share the same kernels; the accuracy gap between them is reported.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def build():
+def _arm_cache():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def build(level=1):
     from dolfin_navier_scipy_tpu.models import cylinderwake_problem
 
-    prob = cylinderwake_problem(level=1, nu=1e-3, charvel=1.0)  # Re=100
+    prob = cylinderwake_problem(level=level, nu=1e-3, charvel=1.0)  # Re=100
     dt = 2.5e-4
     return prob, dt
 
 
-def device_steps_per_sec(prob, dt, nsteps=1500, mode="fast", v0=None,
-                         ops_cache={}):
-    """One CNAB step per scan iteration.
+def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
+                         linsolver="auto", v0=None, ops=None):
+    """One increment-form CNAB step per scan iteration.
 
-    ``fast``: f32 kernels, no refinement (production-CFD precision);
-    ``accurate``: f64 kernels + f64 iterative refinement of the f32
-    inverse (matches the f64 LU trajectory to ~1e-11).
-    Returns ``(steps_per_sec, final_v)``.
+    ``accurate``: f64 carry (the default trajectory mode);
+    ``fast``: f32 carry.  Both run the same f32 device kernels.
+    Returns ``(steps_per_sec, final_v, ops)``.
 
     NOTE: the warmup runs the SAME scan length as the timed call (the
     length is a static arg — a different warmup length would leave the
@@ -44,56 +64,59 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="fast", v0=None,
     import jax.numpy as jnp
     from jax import lax
 
-    from dolfin_navier_scipy_tpu.ops.convection import ConvectionKernel
-    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops, _kern
 
-    if mode == "fast":
-        ops = _build_ops(prob, dt, theta=0.5, refine=0)
-        aff = prob.affine_ops(jnp.float32)
-        kern = ConvectionKernel(prob.ctx, dtype=jnp.float32)
-        Eop = aff.view("ma", cm=1.0, ca=-0.5 * dt)
-    else:
-        ops = _build_ops(prob, dt, theta=0.5, refine=2)
-        kern = prob.conv_kernel
-        Eop = ops.E
+    precision = "fast" if mode == "fast" else "accurate"
+    if ops is None:
+        ops = _build_ops(prob, dt, theta=0.5, precision=precision,
+                         linsolver=linsolver)
+    kern = _kern(prob, "fast")          # f32 convection kernel
     nin = ops.nin
+    cdtype = jnp.float32 if mode == "fast" else jnp.float64
     bundle = dict(
-        ops=ops, E=Eop, kern=kern,
+        ops=ops, kern=kern,
         invinds=jnp.asarray(prob.invinds),
         v_bc=jnp.asarray(prob.bc_full_vec()),
         fv=jnp.asarray(np.asarray(prob.fv).ravel()),
-        fp=jnp.asarray(np.asarray(prob.fp).ravel()),
+        zp=jnp.zeros((prob.np_cond,)),
     )
 
     def step(b, carry, _):
         v, nfc_o = carry
         v_full = b["v_bc"].at[b["invinds"]].set(v)
         nfc_c = -b["kern"].vector(v_full)[b["invinds"]]
-        rhs = (b["E"].matvec(v)
-               + 0.5 * dt * (3 * nfc_c - nfc_o) + dt * b["fv"])
-        sol = b["ops"].solver.solve(rhs, b["fp"])
-        return (sol[:nin], nfc_c), None
+        rhs_d = (-dt * b["ops"].A.matvec(v)
+                 + 0.5 * dt * (3 * nfc_c - nfc_o) + dt * b["fv"])
+        sol = b["ops"].solver.solve(rhs_d, b["zp"])
+        return (v + sol[:nin].astype(v.dtype), nfc_c.astype(nfc_o.dtype)), \
+            None
 
     from functools import partial
 
     @partial(jax.jit, static_argnums=2)
     def run(b, v0, n):
+        # warm the AB2 "previous" convection at v0 (the reference's cnab
+        # hands nfc_c from the bootstrap into the loop)
+        v_full0 = b["v_bc"].at[b["invinds"]].set(v0)
+        nfc0 = (-b["kern"].vector(v_full0)[b["invinds"]]).astype(cdtype)
         (v, nfc), _ = lax.scan(lambda c, x: step(b, c, x),
-                               (v0, jnp.zeros_like(v0)), None, length=n)
+                               (v0, nfc0), None, length=n)
         return v
 
-    v0 = jnp.zeros((nin,)) if v0 is None else jnp.asarray(v0)
+    v0 = (jnp.zeros((nin,), cdtype) if v0 is None
+          else jnp.asarray(v0, cdtype))
     run(bundle, v0, nsteps).block_until_ready()      # compile this length
     t0 = time.perf_counter()
-    v = run(bundle, v0 + 1e-13, nsteps)              # dodge result cache
+    v = run(bundle, v0 + jnp.asarray(1e-13, cdtype), nsteps)
     v.block_until_ready()
     el = time.perf_counter() - t0
     assert np.isfinite(np.asarray(v)).all()
-    return nsteps / el, np.asarray(v)
+    return nsteps / el, np.asarray(v), ops
 
 
-def baseline_steps_per_sec(prob, dt, nsteps=60):
-    """Reference-style loop: scipy splu + host convection assembly."""
+def baseline_loop(prob, dt, nsteps=60, v0=None, return_v=False):
+    """Reference-style loop: scipy splu (f64) + host convection assembly.
+    Doubles as the f64 accuracy oracle."""
     import scipy.sparse as sps
     import scipy.sparse.linalg as spsla
 
@@ -115,9 +138,7 @@ def baseline_steps_per_sec(prob, dt, nsteps=60):
     bcv = prob.bc_full_vec()
     inv = prob.invinds
 
-    v = np.zeros(nin)
-    nfc_o = np.zeros(nin)
-    # warm the caches
+    v = np.zeros(nin) if v0 is None else np.asarray(v0, np.float64).copy()
     full = bcv.copy()
     full[inv] = v
     nfc_o = -convection_vector_host(prob.ctx, full).ravel()[inv]
@@ -133,30 +154,75 @@ def baseline_steps_per_sec(prob, dt, nsteps=60):
         v, nfc_o = sol[:nin], nfc_c
     el = time.perf_counter() - t0
     assert np.isfinite(v).all()
+    if return_v:
+        return nsteps / el, v
     return nsteps / el
 
 
+def level2_steps_per_sec():
+    """Level-2 (~30k dofs) CNAB on the device via the block-Schur solver;
+    isolated in a subprocess because historic axon runtime faults at this
+    size killed the worker (docs/ROADMAP.md)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import json, bench;"
+        "prob, dt = bench.build(level=2);"
+        "sps_, v, _ = bench.device_steps_per_sec("
+        "    prob, dt, nsteps=300, mode='accurate', linsolver='schur');"
+        "base = bench.baseline_loop(prob, dt, nsteps=20);"
+        "print(json.dumps({'l2': round(sps_, 2),"
+        "                  'l2_base': round(base, 2),"
+        "                  'l2_dofs': int(len(prob.invinds) + prob.np_cond)}))"
+    )
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=1500,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return {"l2": None, "l2_base": None, "l2_dofs": None}
+
+
 def main():
-    t_setup = time.time()
+    _arm_cache()
+    t0 = time.time()
     prob, dt = build()
-    dev, _ = device_steps_per_sec(prob, dt, mode="fast")
-    dev_acc, _ = device_steps_per_sec(prob, dt, nsteps=200,
-                                      mode="accurate")
-    base = baseline_steps_per_sec(prob, dt)
-    # fast-vs-f64 trajectory accuracy is asserted in the test suite
-    # (tests/test_timeint.py::test_fast_precision_mode, <5e-5 relative);
-    # at Re=100 a benchmark-horizon norm comparison only measures
-    # chaotic separation, so it is not reported here
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    ops = _build_ops(prob, dt, theta=0.5, precision="accurate",
+                     linsolver="auto")
+    setup_s = round(time.time() - t0, 1)           # build + factorization
+    t0 = time.time()
+    dev, v_acc, ops = device_steps_per_sec(prob, dt, mode="accurate",
+                                           ops=ops)
+    first_run_s = round(time.time() - t0, 1)       # compile + first scan
+    dev_fast, v_fast, _ = device_steps_per_sec(prob, dt, mode="fast",
+                                               ops=ops)
+    # trajectory accuracy vs the f64 splu oracle over 300 steps
+    _, _, _ = dev, dev_fast, v_fast
+    _, v64 = baseline_loop(prob, dt, nsteps=300, return_v=True)
+    _, v_dev, _ = device_steps_per_sec(prob, dt, nsteps=300,
+                                       mode="accurate", ops=ops)
+    rel = float(np.linalg.norm(v_dev - v64) / np.linalg.norm(v64))
+    base = baseline_loop(prob, dt)
+    l2 = level2_steps_per_sec()
     print(json.dumps({
         "metric": "cnab_steps_per_sec_cylwake2d",
         "value": round(dev, 2),
         "unit": "steps/s",
         "vs_baseline": round(dev / base, 2),
         "baseline_scipy_splu": round(base, 2),
-        "accurate_mode_steps_per_sec": round(dev_acc, 2),
-        "accurate_vs_baseline": round(dev_acc / base, 2),
+        "accurate_mode_steps_per_sec": round(dev, 2),
+        "accurate_vs_baseline": round(dev / base, 2),
+        "fast_mode_steps_per_sec": round(dev_fast, 2),
+        "accurate_rel_err_300_steps": rel,
         "dofs": int(len(prob.invinds) + prob.np_cond),
-        "setup_s": round(time.time() - t_setup, 1),
+        "setup_s": setup_s,
+        "first_run_s": first_run_s,
+        "level2": l2,
     }))
 
 

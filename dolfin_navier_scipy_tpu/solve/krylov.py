@@ -33,12 +33,17 @@ class KrylovCounter:
 
 
 def solve_sadpnt_krylov(amat=None, jmat=None, jmatT=None, rhsv=None,
-                        rhsp=None, krpslvprms=None, precond=None):
+                        rhsp=None, umat=None, vmat=None,
+                        krpslvprms=None, precond=None):
     """Host GMRES on the saddle system with optional preconditioner.
 
     ``krpslvprms`` keys (matching the reference's kwargs bag):
     ``tol``, ``maxiter``, ``x0``, ``restart``, ``convstatsl`` (a list that
-    collects per-iteration residual norms).
+    collects per-iteration residual norms).  The low-rank feedback update
+    ``A -> A - umat @ vmat`` enters the Krylov operator directly — no
+    Sherman-Morrison bookkeeping needed on the iterative path (the
+    reference's lau supports this combination for the closed-loop runs,
+    solve_nse docstring stokes_navier_utils.py:651-664 + :1505-1512).
     """
     p = dict(krpslvprms or {})
     nv = amat.shape[0]
@@ -52,8 +57,20 @@ def solve_sadpnt_krylov(amat=None, jmat=None, jmatT=None, rhsv=None,
         rhsp = np.zeros((npp,))
     b = np.concatenate([np.asarray(rhsv).ravel(), np.asarray(rhsp).ravel()])
     counter = KrylovCounter(store=p.get("convstatsl"))
+    if umat is not None:
+        U = np.asarray(umat.todense() if sps.issparse(umat) else umat)
+        V = np.asarray(vmat.todense() if sps.issparse(vmat) else vmat)
+
+        def upd_matvec(x):
+            y = K @ x
+            y[:nv] -= U @ (V @ x[:nv])
+            return y
+
+        Kop = spsla.LinearOperator(K.shape, matvec=upd_matvec)
+    else:
+        Kop = K
     x, info = spsla.gmres(
-        K, b, x0=p.get("x0"),
+        Kop, b, x0=p.get("x0"),
         rtol=p.get("tol", 1e-10), atol=0.0,
         restart=p.get("restart", 150),
         maxiter=p.get("maxiter", 200),

@@ -30,18 +30,23 @@ from jax import lax
 from .timeint import _build_ops
 
 
-def _make_bundle(prob, dt, inv_dtype=None):
+def _make_bundle(prob, dt, inv_dtype=None, fv_extra=None):
     ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype)
     nd = 2 * prob.ctx.N2.shape[1]
     full2in = np.full(prob.nv_full, len(prob.invinds), dtype=np.int32)
     full2in[prob.invinds] = np.arange(len(prob.invinds), dtype=np.int32)
     vd = prob.space.vdofs_of_cells().reshape(-1, nd)
+    fv = np.asarray(prob.fv).ravel()
+    if fv_extra is not None:
+        # constant rhs additions, e.g. the static-feedback throughput
+        # b_mat (b_mat.T w) (reference stokes_navier_utils.py:1377)
+        fv = fv + np.asarray(fv_extra).ravel()
     return dict(
         ops=ops,
         kern=prob.conv_kernel,
         invinds=jnp.asarray(prob.invinds),
         v_bc=jnp.asarray(prob.bc_full_vec()),
-        fv=jnp.asarray(np.asarray(prob.fv).ravel()),
+        fv=jnp.asarray(fv),
         fp=jnp.asarray(np.asarray(prob.fp).ravel()),
         ell_dofs=jnp.asarray(full2in[vd]),     # (nc,12), nin = masked
     )
@@ -152,7 +157,7 @@ def solve_nse_newton_ti(
     prob=None, trange=None, iniv=None, inip=None,
     lin_vel_point=None, stokes_flow=False,
     vel_nwtn_stps=4, vel_nwtn_tol=1e-10, vel_pcrd_stps=0,
-    umat=None, vmat=None,
+    umat=None, vmat=None, fv_extra=None,
     nsects=1, addfullsweep=True,
     controls=None, save_every=1, verbose=False,
     gmres_restart=20, gmres_maxiter=3, krylovini="old", **kw,
@@ -171,7 +176,7 @@ def solve_nse_newton_ti(
     trange = np.asarray(trange)
     dt = float(trange[1] - trange[0])
     nts = len(trange) - 1
-    b = _make_bundle(prob, dt)
+    b = _make_bundle(prob, dt, fv_extra=fv_extra)
     nin = b["ops"].nin
 
     iniv = jnp.asarray(np.asarray(iniv).ravel())

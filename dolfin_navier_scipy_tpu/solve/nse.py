@@ -39,8 +39,9 @@ def _carry_from_npz(path, scheme):
     """Rebuild a scan carry from an ``.npz`` checkpoint (uncontrolled
     runs; controlled runs keep their carry in memory)."""
     dat = np.load(path)
-    keys = (("v", "p", "nfc", "fv", "dfv", "flag") if scheme == "cnab"
-            else ("v", "v_p", "p", "nfc_p", "fv", "dfv", "flag"))
+    keys = (("v", "p", "nfc", "fv", "dfv", "gp", "flag")
+            if scheme == "cnab"
+            else ("v", "dv", "p", "nfc_p", "fv", "dfv", "gp", "flag"))
     carry = {k: dat[k] for k in keys}
     defaults = ("drm", "cvals", "cmems", "bfv", "mbc") if scheme == "cnab" \
         else ("drm", "cvals", "cmems", "mbc", "mbc_p")
@@ -62,6 +63,9 @@ def solve_nse(
     f_tdp=None, g_tdp=None,
     dynamic_rhs=None, dynamic_rhs_memory=None,
     controls=None,
+    closed_loop=False, dynamic_feedback=False, dyn_fb_dict=None,
+    dyn_fb_disc="AB2", static_feedback=False, feedbackthroughdict=None,
+    b_mat=None, cv_mat=None, umat=None, vmat=None,
     check_ff_maxv=1e8,
     save_every=1,
     return_vp_dict=False,
@@ -116,6 +120,95 @@ def solve_nse(
             get_pfromv(v=iniv, prob=prob, stokes_flow=stokes_flow)
         ).ravel()
 
+    fv_extra = None
+    if closed_loop:
+        # closed-loop feedback wiring (reference
+        # stokes_navier_utils.py:1224-1263 dynamic, :1367-1384 static)
+        def _dense(m):
+            return np.asarray(m.todense() if hasattr(m, "todense") else m)
+
+        if dynamic_feedback:
+            if not treat_nonl_explicit:
+                raise NotImplementedError(
+                    "dynamic feedback rides the semi-explicit integrators "
+                    "(as in the reference, stokes_navier_utils.py:1218-1263)")
+            dfb = dict(dyn_fb_dict)
+            b_ = _dense(b_mat)
+            cv_ = _dense(cv_mat)
+            if dyn_fb_disc == "linear_implicit":
+                # monolithic augmentation: integrate the extended
+                # (flow + controller) system (time_int_utils.py:492-563)
+                from ..control.augment import nse_include_lnrcntrllr
+
+                if f_tdp is not None or controls:
+                    raise NotImplementedError(
+                        "linear_implicit feedback with extra forcing")
+                ext = nse_include_lnrcntrllr(
+                    prob=prob, hA=dfb["ha"], hB=dfb["hb"], hC=dfb["hc"],
+                    B=b_, C=cv_, hM=dfb.get("hm"),
+                    hiniv=dfb.get("inihx"), hf_tdp=dfb.get("drift"))
+                nin = len(prob.invinds)
+                scheme = {"cnab": timeint.cnab,
+                          "sbdf2": timeint.sbdf2}[time_int_scheme]
+                eout = scheme(
+                    trange=trange, prob=ext,
+                    inivel=ext.extend_state(iniv),
+                    inip=inip, check_ff_maxv=check_ff_maxv,
+                    save_every=save_every, verbose=verbose, **kw)
+                eout["hx"] = np.asarray(eout["v"])[nin:]
+                eout["v"] = np.asarray(eout["v"])[:nin]
+                if eout["vs"] is not None:
+                    eout["hxs"] = np.asarray(eout["vs"])[:, nin:]
+                    eout["vs"] = np.asarray(eout["vs"])[:, :nin]
+                eout["iniv"], eout["inip"] = iniv, inip
+                return eout
+            from ..control.lti import get_heunab_lti, get_heuntrpz_lti
+
+            if dyn_fb_disc == "trapezoidal":
+                fbk, mem0 = get_heuntrpz_lti(
+                    hb=dfb["hb"], ha=dfb["ha"], hc=dfb["hc"],
+                    inihx=dfb["inihx"], drift=dfb.get("drift"),
+                    constdt=float(trange[1] - trange[0]))
+            elif dyn_fb_disc == "AB2":
+                fbk, mem0 = get_heunab_lti(
+                    hb=dfb["hb"], ha=dfb["ha"], hc=dfb["hc"],
+                    inihx=dfb["inihx"], drift=dfb.get("drift"))
+            else:
+                raise ValueError(dyn_fb_disc)
+            import jax.numpy as jnp
+
+            b_j, cv_j = jnp.asarray(b_), jnp.asarray(cv_)
+
+            def dynamic_rhs(t, vc=None, memory=None, mode=None):
+                u, memory = fbk(t, vc=cv_j @ vc, memory=memory, mode=mode)
+                return b_j @ u, memory
+
+            dynamic_rhs_memory = mem0
+        elif static_feedback or feedbackthroughdict is not None:
+            # time-constant low-rank feedback: A -> A - b_mat @ mtxtb.T,
+            # rhs += b_mat (b_mat.T w)  (reference :1367-1384)
+            from ..utils.io import load_npa
+
+            fbd = feedbackthroughdict[None]
+            mtxtb = fbd["mtxtb"]
+            w = fbd["w"]
+            mtxtb = load_npa(mtxtb) if isinstance(mtxtb, str) else mtxtb
+            w = load_npa(w) if isinstance(w, str) else w
+            b_ = _dense(b_mat)
+            umat = b_
+            vmat = np.asarray(_dense(mtxtb)).T
+            fv_fb = (b_ @ (b_.T @ np.asarray(w))).ravel()
+            import jax.numpy as jnp
+
+            fv_fb_j = jnp.asarray(fv_fb)
+            fv_extra = fv_fb
+            prev_f_tdp = f_tdp
+            if prev_f_tdp is None:
+                fv0 = jnp.asarray(np.asarray(prob.fv).ravel())
+                f_tdp = lambda t: fv0 + fv_fb_j           # noqa: E731
+            else:
+                f_tdp = lambda t: prev_f_tdp(t) + fv_fb_j  # noqa: E731
+
     if not treat_nonl_explicit or lin_vel_point is not None:
         from .newton_ti import solve_nse_newton_ti
 
@@ -123,7 +216,8 @@ def solve_nse(
             prob=prob, trange=trange, iniv=iniv, inip=inip,
             lin_vel_point=lin_vel_point, stokes_flow=stokes_flow,
             vel_nwtn_stps=vel_nwtn_stps, vel_nwtn_tol=vel_nwtn_tol,
-            vel_pcrd_stps=vel_pcrd_stps,
+            vel_pcrd_stps=vel_pcrd_stps, umat=umat, vmat=vmat,
+            fv_extra=fv_extra,
             controls=controls, save_every=save_every, verbose=verbose, **kw)
 
     scheme = {"cnab": timeint.cnab, "sbdf2": timeint.sbdf2}[time_int_scheme]
@@ -135,6 +229,7 @@ def solve_nse(
             f_tdp=f_tdp, g_tdp=g_tdp,
             dynamic_rhs=dynamic_rhs, dynamic_rhs_memory=dynamic_rhs_memory,
             controls=controls, check_ff_maxv=check_ff_maxv,
+            umat=umat, vmat=vmat,
             save_every=save_every, resume_carry=resume_carry,
             verbose=verbose, **kw)
 

@@ -116,10 +116,9 @@ def solve_sadpnt(amat=None, jmat=None, jmatT=None, rhsv=None, rhsp=None,
     if krylov:
         from .krylov import solve_sadpnt_krylov
 
-        if umat is not None:
-            raise NotImplementedError("SMW updates with the Krylov path")
         x, _ = solve_sadpnt_krylov(amat=amat, jmat=jmat, jmatT=jmatT,
                                    rhsv=rhsv, rhsp=rhsp,
+                                   umat=umat, vmat=vmat,
                                    krpslvprms=krpslvprms)
         return x
     solver = SaddleSolver(amat, jmat, jmatT)
@@ -135,6 +134,43 @@ def solve_sadpnt(amat=None, jmat=None, jmatT=None, rhsv=None, rhsp=None,
     if return_solver:
         return out, solver
     return out
+
+
+def _ns_polish(Keq, Z, iters):
+    """Newton-Schulz iterations ``Z <- Z (2I - Keq Z)`` with exact-f32
+    matmuls (the TPU default matmul precision is bf16-based and would
+    DESTROY the correction — measured: 4e-4 -> 0.47 error without the
+    precision override)."""
+    eye2 = 2.0 * jnp.eye(Keq.shape[0], dtype=Keq.dtype)
+    for _ in range(iters):
+        KZ = jnp.matmul(Keq, Z, precision=jax.lax.Precision.HIGHEST)
+        Z = jnp.matmul(Z, eye2 - KZ, precision=jax.lax.Precision.HIGHEST)
+    return Z
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _devinv_jit(Keq, dinv, iters):
+    Z = jnp.linalg.inv(Keq)
+    Z = _ns_polish(Keq, Z, iters)
+    return (Z * dinv[:, None]) * dinv[None, :]
+
+
+def _device_f32_inverse(K, ns_iters=2):
+    """f32 saddle inverse built ON the accelerator: symmetric max-norm
+    equilibration (host) -> device f32 LU inverse -> Newton-Schulz
+    polish -> un-equilibrate.  ~1 s at 8k dofs vs minutes for a
+    single-core host O(n^3) inversion.
+
+    Returns a DEVICE f32 array re-materialized into a dense default
+    layout: the LU kernel's output layout makes subsequent matvecs ~4x
+    slower if kept (measured 1678 vs 430 us at 8k)."""
+    d = np.sqrt(np.abs(K).max(axis=1))
+    d[d == 0] = 1.0
+    Keq = jnp.asarray((K / d[:, None]) / d[None, :], jnp.float32)
+    dinv = jnp.asarray(1.0 / d, jnp.float32)
+    Z = _devinv_jit(Keq, dinv, ns_iters)
+    # eager re-materialization fixes the inherited LU layout
+    return jnp.where(jnp.abs(Z) < np.float32(1.2e-38), np.float32(0.0), Z)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -160,6 +196,7 @@ class InverseSaddleSolver:
 
     def __init__(self, amat=None, jmat=None, jmatT=None, refine=None,
                  inv_dtype=None, dtype=None, res_ops=None,
+                 inv_method="auto", ns_iters=2,
                  _leaves=None, _aux=None):
         import scipy.linalg as spla
 
@@ -184,22 +221,26 @@ class InverseSaddleSolver:
         K[:nv, :nv] = _to_dense(amat)
         K[:nv, nv:] = _to_dense(jT)
         K[nv:, :nv] = _to_dense(jmat)
-        # One-time host inversion (f64, threaded LAPACK when jax's CPU
-        # backend is reachable).  NOTE: computing the inverse on the TPU
-        # in f32 looked attractive (seconds vs minutes) but made the
-        # subsequent Kinv matvecs ~8x slower (value-dependent; measured
-        # 487 vs 3937 steps/s) — do not resurrect without profiling.
         n_all = nv + npp
-        try:
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                Kinv = np.asarray(jnp.linalg.inv(jnp.asarray(K)))
-        except Exception:
-            lu, piv = spla.lu_factor(K)
-            Kinv = spla.lu_solve((lu, piv), np.eye(n_all))
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if inv_method == "auto":
+            # the host is single-core in this deployment: O(n^3) f64
+            # LAPACK takes minutes at 8k dofs.  On an accelerator the f32
+            # LU inverse of the row/col-equilibrated K plus Newton-Schulz
+            # polish (exact-f32 matmuls) reaches ~1e-6 quality in <1 s.
+            inv_method = "device" if (on_tpu and n_all > 3000) else "host"
+        if inv_method == "device":
+            Kinv = _device_f32_inverse(K, ns_iters=ns_iters)
+        else:
+            try:
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    Kinv = np.asarray(jnp.linalg.inv(jnp.asarray(K)))
+            except Exception:
+                lu, piv = spla.lu_factor(K)
+                Kinv = spla.lu_solve((lu, piv), np.eye(n_all))
 
         if inv_dtype is None:
-            on_tpu = jax.default_backend() not in ("cpu",)
             inv_dtype = jnp.float32 if on_tpu else dtype
         self.inv_dtype = inv_dtype
         # Pallas inverse-apply: 1.5x the XLA dense matvec on v5e (531 vs
@@ -208,7 +249,8 @@ class InverseSaddleSolver:
 
         self.use_pallas = (os.environ.get("DNS_TPU_PALLAS", "0") == "1"
                            and inv_dtype == jnp.float32
-                           and jax.default_backend() not in ("cpu",))
+                           and jax.default_backend() not in ("cpu",)
+                           and not isinstance(Kinv, jax.Array))
         if self.use_pallas:
             npad = ((nv + npp + 1023) // 1024) * 1024
             KinvTp = np.zeros((npad, npad), np.float32)
@@ -218,9 +260,14 @@ class InverseSaddleSolver:
         else:
             self.KinvT = None
             self.n_pad = 0
-        # cast on host before the device transfer (avoids staging the full
-        # f64 inverse in HBM: 2x memory spike at large sizes)
-        self.Kinv = jnp.asarray(np.asarray(Kinv, dtype=inv_dtype))
+        if isinstance(Kinv, jax.Array):
+            # device-built inverse: already f32 with a clean layout; a
+            # host round-trip would cost ~45 s through the axon tunnel
+            self.Kinv = Kinv
+        else:
+            # cast on host before the device transfer (avoids staging the
+            # full f64 inverse in HBM: 2x memory spike at large sizes)
+            self.Kinv = jnp.asarray(np.asarray(Kinv, dtype=inv_dtype))
         if refine is None:
             refine = 3 if inv_dtype == jnp.float32 else 0
         self.refine = refine
@@ -271,6 +318,186 @@ class InverseSaddleSolver:
             r = rhs - self._K_matvec(x)
             x = x + self._apply_inv(r).astype(self.dtype)
         return x
+
+
+@jax.tree_util.register_pytree_node_class
+class SchurSaddleSolver:
+    """Block-Schur saddle solver: exact dense Schur factors seeded by ONE
+    host sparse LU, plus a fixed-iteration Jacobi-PCG velocity solve.
+
+    For the time-step saddle ``[[F, J^T],[J, 0]]`` with SPD
+    ``F = M + theta dt A`` (mass-dominated at CFL-scale dt):
+
+    * setup (host, seconds): ``splu(F)``; ``X = F^{-1} J^T`` (np sparse
+      backsolves — np << nv); ``S = J X`` and its dense inverse (np^2).
+      No O(nv^2) object is ever formed — this is the path past the
+      ~20k-dof ceiling of the dense-inverse solver.
+    * per solve (device): ``y ~= F^{-1} rhs_v`` by ``ncg`` Jacobi-PCG
+      iterations (F is spectrally close to the mass matrix, cond ~ 10-30,
+      so a FIXED small iteration count reaches f32 accuracy — static
+      control flow, scan/jit-friendly); then exactly
+      ``q = S^{-1}(J y - rhs_p)`` and ``v = y - X q`` (two MXU matvecs).
+
+    Replaces the reference's one-LU-many-backsolves property
+    (time_int_utils.py:89-91) without any triangular solves, which do
+    not map onto a systolic array.
+    """
+
+    _leaf_names = ("X", "Sinv", "dinv", "Kop", "Jop", "F_ell", "J_ell",
+                   "JT_ell")
+    _aux_names = ("nv", "np", "ncg", "dtype")
+
+    def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
+                 dtype=None, ncg=None, cg_tol=None,
+                 _leaves=None, _aux=None):
+        if _leaves is not None:
+            for n, v in zip(self._leaf_names, _leaves):
+                setattr(self, n, v)
+            for n, v in zip(self._aux_names, _aux):
+                setattr(self, n, v)
+            return
+        dtype = dtype or jnp.float32
+        self.dtype = dtype
+        F = sps.csc_matrix(coeff)
+        J = sps.csr_matrix(jmat)
+        jT = sps.csc_matrix(J.T if jmatT is None else jmatT)
+        nv, npp = F.shape[0], J.shape[0]
+        self.nv, self.np = nv, npp
+
+        lu = spsla.splu(F)
+        X = lu.solve(np.asarray(jT.todense()))           # (nv, np)
+        S = np.asarray(J @ X)                            # (np, np), SPD
+        self.X = jnp.asarray(X, dtype)
+        self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
+        dv = F.diagonal()
+        self.dinv = jnp.asarray(1.0 / dv, dtype)
+
+        if res_ops is not None:
+            self.Kop, self.Jop = res_ops
+            self.F_ell = self.J_ell = self.JT_ell = None
+        else:
+            from ..ops.sparse import ell_from_scipy_fast
+
+            self.Kop = self.Jop = None
+            self.F_ell = ell_from_scipy_fast(F, dtype=dtype)
+            self.J_ell = ell_from_scipy_fast(J, dtype=dtype)
+            self.JT_ell = ell_from_scipy_fast(jT, dtype=dtype)
+
+        if ncg is None:
+            # count host Jacobi-PCG iterations to the work-precision
+            # tolerance once, then freeze (static loop bound on device)
+            if cg_tol is None:
+                cg_tol = 1e-7 if dtype == jnp.float32 else 1e-13
+            rng = np.random.default_rng(0)
+            b = rng.standard_normal(nv)
+            it = [0]
+
+            def cb(_):
+                it[0] += 1
+
+            spsla.cg(F, b, rtol=cg_tol, atol=0.0, maxiter=400,
+                     M=sps.diags(1.0 / dv), callback=cb)
+            ncg = it[0] + 3
+        self.ncg = int(ncg)
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, n) for n in self._leaf_names),
+                tuple(getattr(self, n) for n in self._aux_names))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(_leaves=children, _aux=aux)
+
+    def _fmv(self, x):
+        if self.Kop is not None:
+            return self.Kop.matvec(x)
+        return self.F_ell.matvec(x)
+
+    def _jmv(self, x):
+        if self.Jop is not None:
+            return self.Jop.matvec(x)
+        return self.J_ell.matvec(x)
+
+    def _fsolve(self, b):
+        """Jacobi-PCG with a static iteration count."""
+        import jax.lax as lax
+
+        x = jnp.zeros_like(b)
+        r = b
+        z = self.dinv * r
+        p = z
+        rz = r @ z
+
+        def body(_, st):
+            x, r, p, rz = st
+            Ap = self._fmv(p)
+            pAp = p @ Ap
+            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = self.dinv * r
+            rz_n = r @ z
+            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+            return (x, r, z + beta * p, rz_n)
+
+        x, _, _, _ = lax.fori_loop(0, self.ncg, body, (x, r, p, rz))
+        return x
+
+    def solve(self, rhsv, rhsp):
+        """Raw stacked ``[v; q]`` like :class:`InverseSaddleSolver`."""
+        bv = rhsv.reshape(-1).astype(self.dtype)
+        bp = rhsp.reshape(-1).astype(self.dtype)
+        y = self._fsolve(bv)
+        q = self.Sinv @ (self._jmv(y) - bp)
+        v = y - self.X @ q
+        return jnp.concatenate([v, q])
+
+
+@jax.tree_util.register_pytree_node_class
+class SMWSolver:
+    """Wrap any reusable saddle solver with the implicit low-rank update
+    ``A -> A - c * umat @ vmat`` via Sherman-Morrison-Woodbury.
+
+    The base solves for the k update columns and the k-by-k capacitance
+    inverse are precomputed ONCE; each wrapped solve costs the base solve
+    plus two small dense matvecs — the property that lets static feedback
+    ride the scan integrators (the reference supports feedback only in
+    its per-step-LU implicit loop, stokes_navier_utils.py:1505-1512).
+    """
+
+    def __init__(self, base=None, umat=None, vmat=None, c=1.0,
+                 _leaves=None, _aux=None):
+        if _leaves is not None:
+            (self.base, self.W, self.capinv, self.vmat) = _leaves
+            (self.nv, self.np) = _aux
+            return
+        self.base = base
+        self.nv, self.np = base.nv, base.np
+        U = np.asarray(_to_dense(umat), dtype=np.float64)
+        V = np.asarray(_to_dense(vmat), dtype=np.float64)
+        k = U.shape[1]
+        cols = []
+        zp = jnp.zeros((self.np,))
+        for i in range(k):
+            cols.append(base.solve(jnp.asarray(c * U[:, i]), zp))
+        W = jnp.stack(cols, axis=1)                      # (nv+np, k)
+        cap = np.eye(k) - V @ np.asarray(W)[: self.nv]
+        self.W = W
+        self.capinv = jnp.asarray(np.linalg.inv(cap))
+        self.vmat = jnp.asarray(V)
+
+    def tree_flatten(self):
+        return ((self.base, self.W, self.capinv, self.vmat),
+                (self.nv, self.np))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(_leaves=children, _aux=aux)
+
+    def solve(self, rhsv, rhsp):
+        x0 = self.base.solve(rhsv, rhsp)
+        coef = self.capinv @ (self.vmat @ x0[: self.nv])
+        return x0 + self.W @ coef
 
 
 def apply_massinv(massmat, rhsa, output=None):

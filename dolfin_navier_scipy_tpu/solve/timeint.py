@@ -88,10 +88,20 @@ class TimeIntOps:
 
 
 def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
-               precision="accurate", linsolver="auto"):
-    """``precision='fast'``: f32 kernels + no refinement — the
-    production-CFD mode on v5e; 'accurate' keeps f64 operators and
-    f64-refines the f32 inverse.
+               precision="accurate", linsolver="auto", work_dtype=None):
+    """Operator/solver bundle for the INCREMENT-form integrators.
+
+    The scan integrators advance ``v_n = v_c + delta`` with a saddle
+    solve for the O(dt)-sized increment, so per-step arithmetic only
+    needs *relative* f32 accuracy on ``delta`` to deliver f64-grade
+    trajectories (the carry accumulates in f64).  Work precision:
+
+    * ``precision='fast'``: f32 operators everywhere,
+    * ``precision='accurate'``: f64 operators on CPU (bitwise reference
+      for the tests), f32 operators + the device-built f32 inverse on
+      TPU — same speed as 'fast', f64-grade trajectory via the increment
+      form (TPUs have no fast f64; this is the TPU-native answer to the
+      reference's f64 splu, time_int_utils.py:89-91).
 
     ``linsolver``: 'dense' (precomputed saddle inverse; O(n^2) memory,
     best below ~20k dofs), 'krylov' (matrix-free GMRES with a
@@ -101,24 +111,48 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
     import jax.numpy as _jnp
     import scipy.sparse as sps
 
+    if work_dtype is None:
+        on_acc = jax.default_backend() != "cpu"
+        work_dtype = (_jnp.float64
+                      if (precision != "fast" and not on_acc)
+                      else _jnp.float32)
     if linsolver == "auto":
         n_all = len(prob.invinds) + prob.np_cond
-        linsolver = "dense" if n_all <= 20000 else "krylov"
+        linsolver = "dense" if n_all <= 20000 else "schur"
     if linsolver == "krylov":
         from .krylov_saddle import build_krylov_ops
 
         return build_krylov_ops(
             prob, dt, theta=theta,
-            dtype=_jnp.float32 if precision == "fast" else None,
-            tol=1e-7 if precision == "fast" else 1e-11)
+            dtype=work_dtype,
+            tol=1e-7 if work_dtype == _jnp.float32 else 1e-11)
+    if linsolver == "schur":
+        from .sadpnt import SchurSaddleSolver
+
+        coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
+        aff = getattr(prob, "affine_ops", lambda *_: None)(work_dtype)
+        if aff is not None:
+            res_ops = (aff.view("ma", cm=1.0, ca=theta * dt),
+                       aff.view("j"))
+            Mop, Aop = aff.view("m"), aff.view("a")
+            Eop = aff.view("ma", cm=1.0, ca=-theta * dt)
+        else:
+            res_ops = None
+            Mop = ell_from_scipy_fast(prob.Mc, dtype=work_dtype)
+            Aop = ell_from_scipy_fast(prob.Ac, dtype=work_dtype)
+            Eop = None
+        solver = SchurSaddleSolver(coeff, prob.Jc, prob.JTc,
+                                   res_ops=res_ops, dtype=work_dtype)
+        return TimeIntOps(solver=solver, M=Mop, A=Aop, E=Eop,
+                          dt=dt, theta=theta)
 
     coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
-    if precision == "fast":
-        aff = getattr(prob, "affine_ops", lambda *_: None)(_jnp.float32)
-        if refine is None:
-            refine = 0
-    else:
-        aff = getattr(prob, "affine_ops", lambda *_: None)()
+    aff = getattr(prob, "affine_ops", lambda *_: None)(work_dtype)
+    if refine is None:
+        # increment solves need only relative-to-delta accuracy; one
+        # residual round (in work precision, cheap) covers the
+        # device-built inverse's ~1e-5 quality
+        refine = 1 if work_dtype == _jnp.float32 else 0
     if aff is not None:
         # affine-factorized fused matvecs: constant-weight MXU matmuls
         # + per-element 2x2 geometry contractions (the fast path)
@@ -126,14 +160,18 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
         Kop = aff.view("ma", cm=1.0, ca=theta * dt)
         Eop = aff.view("ma", cm=1.0, ca=-theta * dt)
         solver = InverseSaddleSolver(coeff, prob.Jc, prob.JTc,
+                                     dtype=work_dtype,
                                      inv_dtype=inv_dtype, refine=refine,
                                      res_ops=(Kop, Jop))
         return TimeIntOps(solver=solver, M=Mop, A=Aop, E=Eop,
                           dt=dt, theta=theta)
     solver = InverseSaddleSolver(coeff, prob.Jc, prob.JTc,
+                                 dtype=work_dtype,
                                  inv_dtype=inv_dtype, refine=refine)
-    return TimeIntOps(solver=solver, M=ell_from_scipy_fast(prob.Mc),
-                      A=ell_from_scipy_fast(prob.Ac), dt=dt, theta=theta)
+    return TimeIntOps(solver=solver,
+                      M=ell_from_scipy_fast(prob.Mc, dtype=work_dtype),
+                      A=ell_from_scipy_fast(prob.Ac, dtype=work_dtype),
+                      dt=dt, theta=theta)
 
 
 def _control_blocks(prob, controls):
@@ -221,10 +259,25 @@ def ell_matvec_np(spmat, x):
 
 def _heun_bootstrap(prob, t0, t1, v0, p0, f_vdp, f_tdp, g_tdp,
                     dynamic_rhs, drm, controls, cn,
-                    predictor="IMEX-Euler"):
+                    predictor="IMEX-Euler", umat=None, vmat=None):
     """One Heun (predictor/corrector) step on the host
-    (time_int_utils.py:366-477); runs once, outside the scan."""
+    (time_int_utils.py:366-477); runs once, outside the scan.
+
+    Static feedback ``A -> A - umat @ vmat`` is implicit in the predictor
+    solve and explicit-trapezoidal in the corrector (mirroring how the
+    viscous term is treated)."""
     dt = t1 - t0
+    if umat is not None:
+        U = np.asarray(umat.todense() if hasattr(umat, "todense")
+                       else umat, dtype=np.float64)
+        V = np.asarray(vmat.todense() if hasattr(vmat, "todense")
+                       else vmat, dtype=np.float64)
+
+        def fb(v):
+            return jnp.asarray(U @ (V @ np.asarray(v)))
+    else:
+        U = V = None
+        fb = None
     nin = len(prob.invinds)
     has_c = bool(controls)
 
@@ -250,15 +303,25 @@ def _heun_bootstrap(prob, t0, t1, v0, p0, f_vdp, f_tdp, g_tdp,
     Av0 = ell_matvec_np(prob.Ac, v0)
     if predictor == "IMEX-Euler":
         tfv = Mv0 + dt * (fv_n + tbfv + tdfv) + dt * nfc_c - (tmbc - mbc_c)
-        presolve = host_saddle_factorized(
-            prob.Mc + dt * prob.Ac, prob.Jc, prob.JTc)
+        pre_amat, pre_uscal = prob.Mc + dt * prob.Ac, dt
     else:  # IMEX-trpz
         tfv = (Mv0 - 0.5 * dt * Av0
                + 0.5 * dt * (fv_c + fv_n + tbfv + bfv_c + tdfv + dfv_c)
                + dt * nfc_c - (tmbc - mbc_c))
-        presolve = host_saddle_factorized(
-            prob.Mc + 0.5 * dt * prob.Ac, prob.Jc, prob.JTc)
-    tvp = presolve(np.asarray(tfv), np.asarray(fp_n + tbfp))
+        if fb is not None:
+            tfv = tfv + 0.5 * dt * fb(v0)
+        pre_uscal = 0.5 * dt
+        pre_amat = prob.Mc + 0.5 * dt * prob.Ac
+    if fb is None:
+        presolve = host_saddle_factorized(pre_amat, prob.Jc, prob.JTc)
+        tvp = presolve(np.asarray(tfv), np.asarray(fp_n + tbfp))
+    else:
+        from .sadpnt import solve_sadpnt_host
+
+        tvp = solve_sadpnt_host(
+            amat=pre_amat, jmat=prob.Jc, jmatT=prob.JTc,
+            rhsv=np.asarray(tfv), rhsp=np.asarray(fp_n + tbfp),
+            umat=pre_uscal * U, vmat=V)
     tv_n = jnp.asarray(tvp[:nin].ravel())
     tp_n = -jnp.asarray(tvp[nin:].ravel()) / dt
 
@@ -272,6 +335,8 @@ def _heun_bootstrap(prob, t0, t1, v0, p0, f_vdp, f_tdp, g_tdp,
              - 0.5 * dt * (Av0 + ell_matvec_np(prob.Ac, tv_n))
              + 0.5 * dt * (fv_c + fv_n + bfv_n + bfv_c + dfv_n + dfv_c
                            + nfc_c + tnfc_n))
+    if fb is not None:
+        rhs_n = rhs_n + 0.5 * dt * (fb(v0) + fb(tv_n))
     msolve = host_saddle_factorized(prob.Mc, prob.Jc, prob.JTc)
     vp = msolve(np.asarray(rhs_n), np.asarray(fp_n + bfp_n))
     v_n = jnp.asarray(vp[:nin].ravel())
@@ -280,6 +345,7 @@ def _heun_bootstrap(prob, t0, t1, v0, p0, f_vdp, f_tdp, g_tdp,
     return dict(v=v_n, p=p_n, nfc_c=nfc_c, nfc_n=nfc_n, fv_n=fv_n,
                 dfv_n=dfv_n, drm=drm, cvals=cvals_n, cmems=cmems,
                 bfv=bfv_n, mbc=mbc_n, mbc_c=mbc_c,
+                gp=jnp.asarray(fp_n + bfp_n) + jnp.zeros_like(fp_n),
                 v_pred=tv_n, p_pred=tp_n)
 
 
@@ -319,6 +385,25 @@ def _run_scan(step, bundle, carry, ts, save_every):
     return carry, ys, tout
 
 
+def _wrap_feedback(ops, umat, vmat, c):
+    """Fold the static low-rank feedback ``A -> A - umat @ vmat`` into the
+    reusable solver (SMW, precomputed once) and return the device
+    ``(umat, vmat)`` pair for the explicit rhs half."""
+    if umat is None:
+        return ops, None
+    from .sadpnt import SMWSolver
+
+    U = np.asarray(umat.todense() if hasattr(umat, "todense") else umat,
+                   dtype=np.float64)
+    V = np.asarray(vmat.todense() if hasattr(vmat, "todense") else vmat,
+                   dtype=np.float64)
+    wrapped = TimeIntOps(solver=SMWSolver(base=ops.solver, umat=U, vmat=V,
+                                          c=c),
+                         M=ops.M, A=ops.A, E=ops.E,
+                         dt=ops.dt, theta=ops.theta)
+    return wrapped, (jnp.asarray(U), jnp.asarray(V))
+
+
 def _restore_carry(carry):
     """Re-device a stored scan carry: array leaves -> jnp, scalars/None
     kept as-is (they are static constants inside the scan body)."""
@@ -346,7 +431,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
          check_ff_maxv=1e8, save_every=1,
          predictor="IMEX-Euler",
          inv_dtype=None, refine=None, ops=None, precision="accurate",
-         resume_carry=None,
+         resume_carry=None, umat=None, vmat=None,
          verbose=False, **kw):
     """Crank-Nicolson / Adams-Bashforth-2 (reference time_int_utils.py:23).
 
@@ -364,9 +449,10 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
     if ops is None:
         ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype,
                          refine=refine, precision=precision)
+    ops, fbk = _wrap_feedback(ops, umat, vmat, c=0.5 * dt)
     nin = len(prob.invinds)
     cn = _consts(prob, controls)
-    bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn)
+    bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn, fbk=fbk)
     has_c = bool(controls)
     f_vdp_b = _make_f_vdp(stokes_flow, nin)
     f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,
@@ -380,11 +466,17 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         bs = _heun_bootstrap(prob, trange[0], trange[1], v0, p0,
                              lambda vf: f_vdp_b(bundle, vf),
                              f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
-                             controls, cn, predictor=predictor)
+                             controls, cn, predictor=predictor,
+                             umat=umat, vmat=vmat)
     else:
         bs = None
 
     def step(b, c, t):
+        # INCREMENT form: solve for delta = v_n - v_c.  With
+        # K = M + dt/2 A and E = M - dt/2 A the CNAB update
+        # K v_n = E v_c + w  becomes  K delta = -dt A v_c + w, where
+        # every rhs term is O(dt): f32 work arithmetic then yields
+        # f64-grade trajectories with the f64 carry.
         ops_, cn_ = b["ops"], b["cn"]
         nfc_o = c["nfc"]
         v_full = _embed(cn_, has_c, c["v"], c["cvals"])
@@ -394,14 +486,23 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         fv_n = f_tdp(t)
         dfv_n, drm_n = dynamic_rhs(t, vc=c["v"], memory=c["drm"],
                                    mode="abtwo")
-        rhs = (ops_.e_matvec(c["v"])
-               - (mbc_n - c["mbc"])
-               + 0.5 * dt * (3 * nfc_c - nfc_o)
-               + 0.5 * dt * (c["fv"] + fv_n + bfv_n + c["bfv"]
-                             + dfv_n + c["dfv"]))
-        sol = ops_.solver.solve(rhs, g_tdp(t) + bfp_n)
-        v_n = sol[:ops_.nin]
-        p_n = -sol[ops_.nin:] / dt
+        rhs_d = (-dt * ops_.A.matvec(c["v"])
+                 - (mbc_n - c["mbc"])
+                 + 0.5 * dt * (3 * nfc_c - nfc_o)
+                 + 0.5 * dt * (c["fv"] + fv_n + bfv_n + c["bfv"]
+                               + dfv_n + c["dfv"]))
+        if b["fbk"] is not None:
+            # trapezoidal feedback: K' = K - dt/2 uv (in the SMW-wrapped
+            # solver), E' = E + dt/2 uv, so the delta-rhs gains dt uv v_c
+            fu, fvm = b["fbk"]
+            rhs_d = rhs_d + dt * (fu @ (fvm @ c["v"]))
+        # pressure-block rhs of the delta system: g_new - J v_c; by
+        # div-free induction J v_c equals the PREVIOUS g, so the exact
+        # O(dt) difference is formed in f64 before any f32 cast
+        gp_n = g_tdp(t) + bfp_n
+        sol = ops_.solver.solve(rhs_d, gp_n - c["gp"])
+        v_n = c["v"] + sol[:ops_.nin].astype(c["v"].dtype)
+        p_n = (-sol[ops_.nin:] / dt).astype(c["p"].dtype)
         nrm = jnp.linalg.norm(v_n)
         bad = jnp.logical_or(nrm > check_ff_maxv, jnp.isnan(nrm))
         flag = jnp.logical_or(c["flag"], bad)
@@ -409,7 +510,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         p_n = jnp.where(flag, c["p"], p_n)
         return dict(v=v_n, p=p_n, nfc=nfc_c, fv=fv_n, dfv=dfv_n,
                     drm=drm_n, cvals=cvals_n, cmems=cmems, bfv=bfv_n,
-                    mbc=mbc_n, flag=flag)
+                    mbc=mbc_n, gp=jnp.where(flag, c["gp"], gp_n),
+                    flag=flag)
 
     if resume_carry is None:
         # the carried "previous" convection entering the first AB2 step is
@@ -418,7 +520,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         carry = dict(v=bs["v"], p=bs["p"], nfc=bs["nfc_c"], fv=bs["fv_n"],
                      dfv=bs["dfv_n"], drm=bs["drm"], cvals=bs["cvals"],
                      cmems=bs["cmems"], bfv=bs["bfv"], mbc=bs["mbc"],
-                     flag=jnp.asarray(False))
+                     gp=bs["gp"], flag=jnp.asarray(False))
         ts = trange[2:]
     else:
         carry = _restore_carry(resume_carry)
@@ -439,7 +541,7 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
           controls: Optional[List[DirichletControl]] = None,
           check_ff_maxv=1e8, save_every=1,
           inv_dtype=None, refine=None, ops=None, precision="accurate",
-          resume_carry=None,
+          resume_carry=None, umat=None, vmat=None,
           verbose=False, **kw):
     """Semi-implicit BDF2 (reference ``sbdftwo``, time_int_utils.py:260):
     implicit ``M + 2/3 dt A``, extrapolated convection ``2 N(v_c)-N(v_p)``.
@@ -451,9 +553,12 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
     if ops is None:
         ops = _build_ops(prob, dt, theta=2.0 / 3.0, inv_dtype=inv_dtype,
                          refine=refine, precision=precision)
+    # BDF2 treats the linear feedback term fully implicitly: the 2/3 dt
+    # weighted update is folded into the solver, no explicit rhs half
+    ops, _fbk = _wrap_feedback(ops, umat, vmat, c=2.0 / 3.0 * dt)
     nin = len(prob.invinds)
     cn = _consts(prob, controls)
-    bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn)
+    bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn, fbk=_fbk)
     has_c = bool(controls)
     f_vdp_b = _make_f_vdp(stokes_flow, nin)
     f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,
@@ -467,7 +572,7 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
         bs = _heun_bootstrap(prob, trange[0], trange[1], v0, p0,
                              lambda vf: f_vdp_b(bundle, vf),
                              f_tdp, g_tdp, dynamic_rhs, dynamic_rhs_memory,
-                             controls, cn)
+                             controls, cn, umat=umat, vmat=vmat)
 
         # previous-step control mass term for the 3-level mbc correction:
         # the bootstrap's t0 value (mode 'init') — re-evaluating the
@@ -480,6 +585,10 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
         bs = None
 
     def step(b, c, t):
+        # INCREMENT form: with K2 = M + 2/3 dt A, the BDF2 update
+        # K2 v_n = 1/3 M (4 v_c - v_p) + w  becomes
+        # K2 delta = 1/3 M delta_old - 2/3 dt A v_c + w  with
+        # delta_old = v_c - v_p; all rhs terms are O(dt) (see cnab)
         ops_, cn_ = b["ops"], b["cn"]
         nfc_p = c["nfc_p"]
         v_full = _embed(cn_, has_c, c["v"], c["cvals"])
@@ -489,31 +598,42 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
         fv_n = f_tdp(t)
         dfv_n, drm_n = dynamic_rhs(t, vc=c["v"], memory=c["drm"],
                                    mode="abtwo")
-        rhs = (1.0 / 3.0 * ops_.M.matvec(4.0 * c["v"] - c["v_p"])
-               - (mbc_n - 4.0 / 3.0 * c["mbc"] + 1.0 / 3.0 * c["mbc_p"])
-               + 2.0 / 3.0 * dt * bfv_n
-               + 2.0 / 3.0 * dt * (2 * nfc_c - nfc_p)
-               + 2.0 / 3.0 * dt * (fv_n + dfv_n))
-        sol = ops_.solver.solve(rhs, g_tdp(t) + bfp_n)
-        v_n = sol[:ops_.nin]
-        p_n = -sol[ops_.nin:] / dt
+        rhs_d = (1.0 / 3.0 * ops_.M.matvec(c["dv"])
+                 - 2.0 / 3.0 * dt * ops_.A.matvec(c["v"])
+                 - (mbc_n - 4.0 / 3.0 * c["mbc"] + 1.0 / 3.0 * c["mbc_p"])
+                 + 2.0 / 3.0 * dt * bfv_n
+                 + 2.0 / 3.0 * dt * (2 * nfc_c - nfc_p)
+                 + 2.0 / 3.0 * dt * (fv_n + dfv_n))
+        if b["fbk"] is not None:
+            # fully-implicit feedback: K2' = K2 - 2/3 dt uv (SMW-wrapped
+            # solver); the delta-rhs gains 2/3 dt uv v_c
+            fu, fvm = b["fbk"]
+            rhs_d = rhs_d + 2.0 / 3.0 * dt * (fu @ (fvm @ c["v"]))
+        gp_n = g_tdp(t) + bfp_n
+        sol = ops_.solver.solve(rhs_d, gp_n - c["gp"])
+        dv_n = sol[:ops_.nin].astype(c["v"].dtype)
+        v_n = c["v"] + dv_n
+        p_n = (-sol[ops_.nin:] / dt).astype(c["p"].dtype)
         nrm = jnp.linalg.norm(v_n)
         bad = jnp.logical_or(nrm > check_ff_maxv, jnp.isnan(nrm))
         flag = jnp.logical_or(c["flag"], bad)
         v_n = jnp.where(flag, c["v"], v_n)
+        dv_n = jnp.where(flag, c["dv"], dv_n)
         p_n = jnp.where(flag, c["p"], p_n)
         mbc_pn = (jnp.where(flag, c["mbc_p"], c["mbc"])
                   if controls else 0.0)
-        return dict(v=v_n, v_p=jnp.where(flag, c["v_p"], c["v"]), p=p_n,
+        return dict(v=v_n, dv=dv_n, p=p_n,
                     nfc_p=nfc_c, fv=fv_n, dfv=dfv_n, drm=drm_n,
                     cvals=cvals_n, cmems=cmems, mbc=mbc_n,
-                    mbc_p=mbc_pn, flag=flag)
+                    mbc_p=mbc_pn, gp=jnp.where(flag, c["gp"], gp_n),
+                    flag=flag)
 
     if resume_carry is None:
-        carry = dict(v=bs["v"], v_p=v0, p=bs["p"], nfc_p=bs["nfc_c"],
+        carry = dict(v=bs["v"], dv=bs["v"] - v0, p=bs["p"],
+                     nfc_p=bs["nfc_c"],
                      fv=bs["fv_n"], dfv=bs["dfv_n"], drm=bs["drm"],
                      cvals=bs["cvals"], cmems=bs["cmems"], mbc=bs["mbc"],
-                     mbc_p=mbc_p0, flag=jnp.asarray(False))
+                     mbc_p=mbc_p0, gp=bs["gp"], flag=jnp.asarray(False))
         ts = trange[2:]
     else:
         carry = _restore_carry(resume_carry)
@@ -540,14 +660,21 @@ def semi_implicit_euler(trange=None, prob=None, inivel=None, rhs_tv=None,
         fv = jnp.asarray(np.asarray(prob.fv).ravel())
         rhs_tv = lambda t, v: fv                   # noqa: E731
 
-    def step(b, c, t):
-        ops_ = b["ops"]
-        rhs = ops_.M.matvec(c["v"]) + dt * rhs_tv(t, c["v"])
-        sol = ops_.solver.solve(rhs, b["cn"]["fp"])
-        return dict(v=sol[:ops_.nin], p=-sol[ops_.nin:] / dt)
+    fp0 = jnp.asarray(np.asarray(prob.fp).ravel())
 
-    carry = dict(v=jnp.asarray(np.asarray(inivel).ravel()),
-                 p=jnp.zeros((prob.np_cond,)))
+    def step(b, c, t):
+        # increment form of (M + dt A) v_n = M v_c + dt rhs:
+        # (M + dt A) delta = -dt A v_c + dt rhs  (O(dt) rhs, see cnab)
+        ops_ = b["ops"]
+        rhs_d = dt * (rhs_tv(t, c["v"]) - ops_.A.matvec(c["v"]))
+        sol = ops_.solver.solve(rhs_d, fp0 - c["gp"])
+        v_n = c["v"] + sol[:ops_.nin].astype(c["v"].dtype)
+        return dict(v=v_n, p=(-sol[ops_.nin:] / dt).astype(c["p"].dtype),
+                    gp=fp0)
+
+    v0 = jnp.asarray(np.asarray(inivel).ravel())
+    carry = dict(v=v0, p=jnp.zeros((prob.np_cond,)),
+                 gp=jnp.asarray(prob.Jc @ np.asarray(v0)))
     carry, ys, tout = _run_scan(step, bundle, carry, trange[1:], save_every)
     return dict(v=carry["v"], p=carry["p"], times=tout,
                 vs=None if ys is None else ys[0],

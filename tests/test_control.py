@@ -155,3 +155,142 @@ def test_lti_discretizations_match_expm():
             y, mem = fn(k * dt, vc=np.zeros(1), memory=mem, mode="abtwo")
         exact = expm(hA * (nsteps * dt)) @ x0
         assert np.allclose(np.asarray(y), exact, atol=1e-5), mk.__name__
+
+
+def test_static_feedback_smw_equals_modified_operator():
+    """cnab(umat, vmat) must equal cnab on a problem whose stiffness is
+    literally A - umat @ vmat: the SMW-wrapped reusable solver plus the
+    explicit trapezoidal rhs half IS the modified-operator scheme."""
+    import copy
+
+    import scipy.sparse as sps
+
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = vss.ravel()[prob.invinds]
+    nin = len(prob.invinds)
+    rng = np.random.default_rng(11)
+    C = observation_operator(prob, ny=2)[:, prob.invinds]
+    umat = -0.5 * C.T                                # dissipative: A + k CtC
+    vmat = C
+    trange = np.linspace(0, 0.1, 41)
+    out_fb = cnab(trange=trange, prob=prob, inivel=v0,
+                  umat=umat, vmat=vmat, save_every=None)
+
+    # literally modified operator, forced onto the sparse (ELL) path so
+    # the element-level affine operators (which encode the TRUE A) are
+    # bypassed
+    prob2 = copy.copy(prob)
+    A2 = sps.csr_matrix(np.asarray(prob.Ac.todense()) - umat @ vmat)
+    prob2.Ac = A2
+    prob2.affine_ops = lambda *a, **k: None
+    out_mod = cnab(trange=trange, prob=prob2, inivel=v0, save_every=None)
+
+    assert not out_fb["ffflag"] and not out_mod["ffflag"]
+    assert np.allclose(np.asarray(out_fb["v"]), np.asarray(out_mod["v"]),
+                       rtol=0, atol=5e-11)
+    # and the dissipative feedback reduces the kinetic energy vs no
+    # feedback (closed loop measurably acts)
+    out_free = cnab(trange=trange, prob=prob, inivel=v0, save_every=None)
+    M = sps.csr_matrix(prob.Mc)
+    en = lambda v: float(np.asarray(v) @ (M @ np.asarray(v)))  # noqa: E731
+    assert en(out_fb["v"]) < en(out_free["v"])
+
+
+def test_solve_nse_closed_loop_dynamic():
+    """Dynamic LTI feedback through the solve_nse facade == hand-built
+    dynamic_rhs with the same observer (reference wiring,
+    stokes_navier_utils.py:1224-1263)."""
+    from dolfin_navier_scipy_tpu.solve import solve_nse
+
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = vss.ravel()[prob.invinds]
+    nin = len(prob.invinds)
+    C = observation_operator(prob, ny=2)[:, prob.invinds]
+    ny = C.shape[0]
+    hN = 3
+    rng = np.random.default_rng(5)
+    hA = -np.eye(hN)
+    hB = 0.3 * rng.normal(size=(hN, ny))
+    hC = 0.05 * rng.normal(size=(ny, hN))
+    B = 1e-2 * rng.normal(size=(nin, ny))
+    inihx = np.ones(hN)
+    dfb = dict(ha=hA, hb=hB, hc=hC, inihx=inihx)
+
+    kw = dict(prob=prob, t0=0.0, tE=0.1, Nts=40, iniv=v0, save_every=None)
+    out = solve_nse(closed_loop=True, dynamic_feedback=True,
+                    dyn_fb_dict=dfb, dyn_fb_disc="AB2",
+                    b_mat=B, cv_mat=C, **kw)
+
+    fbk, mem0 = get_heunab_lti(hb=hB, ha=hA, hc=hC, inihx=inihx)
+    Bj, Cj = jnp.asarray(B), jnp.asarray(C)
+
+    def dynamic_rhs(t, vc=None, memory=None, mode=None):
+        u, memory = fbk(t, vc=Cj @ vc, memory=memory, mode=mode)
+        return Bj @ u, memory
+
+    ref = solve_nse(dynamic_rhs=dynamic_rhs, dynamic_rhs_memory=mem0, **kw)
+    assert np.allclose(np.asarray(out["v"]), np.asarray(ref["v"]),
+                       rtol=0, atol=1e-13)
+
+    # trapezoidal observer discretization also runs through the facade
+    out_t = solve_nse(closed_loop=True, dynamic_feedback=True,
+                      dyn_fb_dict=dfb, dyn_fb_disc="trapezoidal",
+                      b_mat=B, cv_mat=C, **kw)
+    assert np.allclose(np.asarray(out_t["v"]), np.asarray(out["v"]),
+                       atol=1e-4)                  # same ODE, other scheme
+
+    # monolithic linear-implicit augmentation: same closed loop to O(dt^2)
+    out_li = solve_nse(closed_loop=True, dynamic_feedback=True,
+                       dyn_fb_dict=dfb, dyn_fb_disc="linear_implicit",
+                       b_mat=B, cv_mat=C, **kw)
+    assert np.allclose(np.asarray(out_li["v"]), np.asarray(out["v"]),
+                       atol=1e-4)
+    assert out_li["hx"].shape == (hN,)
+
+
+def test_solve_nse_static_feedback_facade():
+    """feedbackthroughdict wiring: umat = b_mat, vmat = mtxtb.T, rhs
+    throughput b (b^T w) (reference stokes_navier_utils.py:1367-1384),
+    on both the semi-explicit and the Newton-in-time paths."""
+    from dolfin_navier_scipy_tpu.solve import solve_nse
+    from dolfin_navier_scipy_tpu.utils.io import save_npa
+
+    import tempfile
+
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = vss.ravel()[prob.invinds]
+    nin = len(prob.invinds)
+    C = observation_operator(prob, ny=2)[:, prob.invinds]
+    ny = C.shape[0]
+    B = 1e-2 * C.T                                   # (nin, ny)
+    mtxtb = 0.5 * C.T                                # A - B mtxtb.T
+    w = np.linspace(0, 1, nin)                       # velocity-space vector
+
+    with tempfile.TemporaryDirectory() as td:
+        save_npa(mtxtb, td + "/mtxtb")
+        save_npa(w, td + "/w")
+        fbtd = {None: dict(mtxtb=td + "/mtxtb.npy", w=td + "/w.npy")}
+        kw = dict(prob=prob, t0=0.0, tE=0.1, Nts=40, iniv=v0,
+                  save_every=None)
+        out = solve_nse(closed_loop=True, static_feedback=True,
+                        feedbackthroughdict=fbtd, b_mat=B, **kw)
+        # twin: direct umat/vmat + rhs shift
+        fv_fb = (B @ (B.T @ w)).ravel()
+        fv0 = jnp.asarray(np.asarray(prob.fv).ravel())
+        ref = solve_nse(umat=B, vmat=mtxtb.T,
+                        f_tdp=lambda t: fv0 + jnp.asarray(fv_fb), **kw)
+        assert np.allclose(np.asarray(out["v"]), np.asarray(ref["v"]),
+                           rtol=0, atol=1e-13)
+
+        # implicit (Newton-in-time) path accepts the same wiring
+        out_ti = solve_nse(closed_loop=True, static_feedback=True,
+                           feedbackthroughdict=fbtd, b_mat=B,
+                           treat_nonl_explicit=False, vel_nwtn_stps=3,
+                           **kw)
+        assert np.allclose(np.asarray(out_ti["v"]), np.asarray(out["v"]),
+                           atol=1e-4)               # other scheme, same loop

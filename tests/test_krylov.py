@@ -46,3 +46,26 @@ def test_krylov_cnab_matches_dense():
     rel = (np.linalg.norm(np.asarray(ok["v"]) - np.asarray(od["v"]))
            / np.linalg.norm(np.asarray(od["v"])))
     assert rel < 1e-8, rel
+
+
+def test_smw_krylov_matches_dense():
+    """Low-rank update on the iterative path (was NotImplementedError):
+    gmres with A - umat@vmat matches the dense SMW solve."""
+    import numpy as np
+
+    from dolfin_navier_scipy_tpu.models import drivencavity_problem
+    from dolfin_navier_scipy_tpu.solve.sadpnt import solve_sadpnt
+
+    prob = drivencavity_problem(N=6, nu=1e-2)
+    nin = len(prob.invinds)
+    rng = np.random.default_rng(3)
+    umat = 1e-2 * rng.standard_normal((nin, 2))
+    vmat = 1e-2 * rng.standard_normal((2, nin))
+    rhsv = np.asarray(prob.fv).ravel()
+    x_dense = solve_sadpnt(amat=prob.Ac, jmat=prob.Jc, jmatT=prob.JTc,
+                           rhsv=rhsv, umat=umat, vmat=vmat)
+    x_kry = solve_sadpnt(amat=prob.Ac, jmat=prob.Jc, jmatT=prob.JTc,
+                         rhsv=rhsv, umat=umat, vmat=vmat,
+                         krylov="gmres",
+                         krpslvprms=dict(tol=1e-13, maxiter=600))
+    assert np.allclose(x_kry.ravel(), x_dense.ravel(), atol=1e-8)

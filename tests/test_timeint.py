@@ -129,3 +129,35 @@ def test_fast_precision_mode(cavity):
     rel = (np.linalg.norm(np.asarray(o32["v"]) - np.asarray(o64["v"]))
            / np.linalg.norm(np.asarray(o64["v"])))
     assert rel < 5e-5, rel
+
+
+def test_schur_solver_matches_dense(cavity):
+    """The block-Schur saddle solver (splu-seeded X/S factors +
+    fixed-iteration Jacobi-PCG) matches the dense-inverse path."""
+    prob, vss = cavity
+    trange = np.linspace(0, 0.2, 101)
+    fvbase = jnp.asarray(np.asarray(prob.fv).ravel())
+    pert = jnp.asarray(np.sin(np.arange(len(prob.invinds)) * 0.21))
+    f_tdp = lambda t: fvbase + 0.1 * jnp.sin(5 * t) * pert  # noqa: E731
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    dt = float(trange[1] - trange[0])
+    ops = _build_ops(prob, dt, theta=0.5, linsolver="schur")
+    o_schur = cnab(trange=trange, prob=prob, inivel=vss, f_tdp=f_tdp,
+                   ops=ops, save_every=None)
+    o_dense = cnab(trange=trange, prob=prob, inivel=vss, f_tdp=f_tdp,
+                   save_every=None)
+    assert not o_schur["ffflag"]
+    rel = (np.linalg.norm(np.asarray(o_schur["v"]) - np.asarray(o_dense["v"]))
+           / np.linalg.norm(np.asarray(o_dense["v"])))
+    assert rel < 1e-9, rel
+
+
+def test_increment_form_is_divergence_free(cavity):
+    """The delta-form solves keep J v = fp to solver precision without
+    ever evaluating J v in full precision (div-free induction)."""
+    prob, vss = cavity
+    trange = np.linspace(0, 0.3, 151)
+    out = cnab(trange=trange, prob=prob, inivel=vss, save_every=None)
+    div = prob.Jc @ np.asarray(out["v"]) - np.asarray(prob.fp).ravel()
+    assert np.abs(div).max() < 1e-11, np.abs(div).max()
