@@ -24,6 +24,12 @@ from jax import config as _jax_config
 if _os.environ.get("DNS_TPU_X64", "1") != "0":
     _jax_config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 passes; FEM solves need true-f32 products
+# (the increment-form integrators budget ~1e-7 per operator application —
+# bf16's 2^-8 destroys the Schur/PCG solves and any Newton-Schulz polish).
+# All hot paths here are HBM-bound matvecs, so this costs no wall-clock.
+_jax_config.update("jax_default_matmul_precision", "float32")
+
 __version__ = "0.1.0"
 
 from . import fem, mesh, ops, solve, models, parallel, utils  # noqa: E402,F401

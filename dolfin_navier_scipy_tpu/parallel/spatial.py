@@ -1,0 +1,264 @@
+"""Element-axis domain decomposition of the FEM operators.
+
+The reference is strictly serial (SURVEY.md section 2.10).  The natural
+spatial parallelism of the TPU build shards the ELEMENT axis of the
+affine/convection kernels across an ICI mesh axis:
+
+* element tables (geometry factors, dof maps) are partitioned — the
+  dominant memory, divided by the device count,
+* the state vector is replicated — it is O(n) floats (KB..MB for FEM
+  problems) against O(n k^2) element data, so replication is the right
+  trade on ICI-connected chips,
+* each device gathers from its replicated state copy, contracts its
+  own elements (pure local MXU/VPU work), scatter-adds into a local
+  output and ``psum``s — ONE reduction collective per operator
+  application, no per-matvec all-gather (the round-1 dof-sharded SpMV
+  all-gathered the full vector every application).
+
+Everything is a registered pytree: the sharded operators travel through
+``jax.jit`` as arguments, never as baked-in HLO constants.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.affine import AffineVectorOps, OpView
+from ..ops.convection import ConvectionKernel
+
+# element-axis leaves of each kernel (the rest are constant reference-
+# element weight tables, replicated)
+_AFF_SHARDED = {"JinvT", "wdet", "vdofs", "pdofs", "detJ",
+                "fac_elem", "fac_vdofs"}
+_CONV_NAMES = ("W1blk", "W2blk", "W3blk", "Nq", "dNq",
+               "JinvT", "wdet", "nodes", "vd", "vdofs_flat")
+_CONV_AUX = ("nv_full", "Q", "nvpc", "blk", "nc", "nc_real", "dim")
+_CONV_SHARDED = {"JinvT", "wdet", "nodes", "vd", "vdofs_flat"}
+
+
+def _pad_axis0(arr, n_to, fill):
+    arr = np.asarray(arr)
+    pad = n_to - arr.shape[0]
+    if pad == 0:
+        return arr
+    block = np.full((pad,) + tuple(arr.shape[1:]), fill, dtype=arr.dtype)
+    return np.concatenate([arr, block], axis=0)
+
+
+def _place(name, leaf, sharded, mesh, axis, n_to, fills):
+    """(placed leaf, in_spec) — element leaves row-sharded, rest repl."""
+    if leaf is None:
+        return None, None
+    if name in sharded:
+        arr = _pad_axis0(leaf, n_to, fills.get(name, 0))
+        spec = P(*([axis] + [None] * (arr.ndim - 1)))
+        return jax.device_put(jnp.asarray(arr),
+                              NamedSharding(mesh, spec)), spec
+    return jax.device_put(jnp.asarray(leaf),
+                          NamedSharding(mesh, P())), P()
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedAffineOps:
+    """Element-sharded :class:`AffineVectorOps`: same matvec surface,
+    each application = local element contraction + one ``psum``."""
+
+    def __init__(self, aff=None, mesh=None, axis="elem",
+                 _leaves=None, _aux=None):
+        if _leaves is not None:
+            self.leaves = _leaves
+            (self.mesh, self.axis, self.in_specs, self.aux_local,
+             self.nin, self.npc) = _aux
+            return
+        self.mesh = mesh
+        self.axis = axis
+        ndev = mesh.shape[axis]
+        leaves, aux = aff.tree_flatten()
+        names = AffineVectorOps._leaf_names
+        auxd = dict(zip(AffineVectorOps._aux_names, aux))
+        blk = auxd["blk"]
+        nc_pad = ((auxd["nc"] + ndev * blk - 1)
+                  // (ndev * blk)) * (ndev * blk)
+        nfac = leaves[names.index("fac_elem")].shape[0]
+        nfac_pad = ((nfac + ndev - 1) // ndev) * ndev
+        fills = {"vdofs": auxd["nin"], "pdofs": auxd["npc"],
+                 "fac_vdofs": auxd["nin"]}
+        placed, specs = [], []
+        for n, leaf in zip(names, leaves):
+            n_to = nfac_pad if n.startswith("fac_") else nc_pad
+            p, s = _place(n, leaf, _AFF_SHARDED, mesh, axis, n_to, fills)
+            placed.append(p)
+            specs.append(s)
+        self.leaves = tuple(placed)
+        self.in_specs = tuple(specs)
+        auxd["nc"] = nc_pad // ndev
+        self.aux_local = tuple(auxd[k] for k in AffineVectorOps._aux_names)
+        self.nin = auxd["nin"]
+        self.npc = auxd["npc"]
+
+    def tree_flatten(self):
+        return (self.leaves, (self.mesh, self.axis, self.in_specs,
+                              self.aux_local, self.nin, self.npc))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(_leaves=tuple(children), _aux=aux)
+
+    def _apply(self, kind, cm, ca, x):
+        aux_local, axis = self.aux_local, self.axis
+
+        def local(*args):
+            lv, xs = args[:-1], args[-1]
+            la = AffineVectorOps.tree_unflatten(aux_local, lv)
+            if kind == "m":
+                y = la.m_matvec(xs)
+            elif kind == "ma":
+                y = la.ma_matvec(xs, cm, ca)
+            elif kind == "j":
+                y = la.j_matvec(xs)
+            else:  # jt
+                y = la.jt_matvec(xs)
+            return jax.lax.psum(y, axis)
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=tuple(self.in_specs) + (P(),),
+            out_specs=P(),
+        )(*self.leaves, x)
+
+    # AffineVectorOps-compatible surface ------------------------------------
+    def m_matvec(self, x):
+        return self._apply("m", 1.0, 0.0, x)
+
+    def a_matvec(self, x):
+        return self._apply("ma", 0.0, 1.0, x)
+
+    def ma_matvec(self, x, cm, ca):
+        return self._apply("ma", cm, ca, x)
+
+    def j_matvec(self, x):
+        return self._apply("j", 0.0, 0.0, x)
+
+    def jt_matvec(self, q):
+        return self._apply("jt", 0.0, 0.0, q)
+
+    def view(self, kind, cm=1.0, ca=0.0):
+        return OpView(self, kind, cm, ca)
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedConvKernel:
+    """Element-sharded :class:`ConvectionKernel` (the per-step
+    state-dependent assembly): local quadrature + one ``psum``."""
+
+    def __init__(self, kern=None, mesh=None, axis="elem",
+                 _leaves=None, _aux=None):
+        if _leaves is not None:
+            self.leaves = _leaves
+            (self.mesh, self.axis, self.in_specs, self.aux_local) = _aux
+            return
+        self.mesh = mesh
+        self.axis = axis
+        ndev = mesh.shape[axis]
+        leaves, aux = kern.tree_flatten()
+        auxd = dict(zip(_CONV_AUX, aux))
+        blk = auxd["blk"]
+        nc_pad = ((auxd["nc"] + ndev * blk - 1)
+                  // (ndev * blk)) * (ndev * blk)
+        lv = dict(zip(_CONV_NAMES, leaves))
+        # rebuild the flat dof list from the padded vd so it shards
+        # consistently with the element axis
+        vd_pad = _pad_axis0(lv["vd"], nc_pad, auxd["nv_full"])
+        lv["vd"] = vd_pad
+        lv["vdofs_flat"] = vd_pad          # re-flattened locally
+        fills = {"vd": auxd["nv_full"], "nodes": 0}
+        placed, specs = [], []
+        for n in _CONV_NAMES:
+            p, s = _place(n, lv[n], _CONV_SHARDED, mesh, axis,
+                          nc_pad, fills)
+            placed.append(p)
+            specs.append(s)
+        self.leaves = tuple(placed)
+        self.in_specs = tuple(specs)
+        auxd["nc"] = nc_pad // ndev
+        auxd["nc_real"] = nc_pad // ndev
+        self.aux_local = tuple(auxd[k] for k in _CONV_AUX)
+
+    def tree_flatten(self):
+        return (self.leaves, (self.mesh, self.axis, self.in_specs,
+                              self.aux_local))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(_leaves=tuple(children), _aux=aux)
+
+    def vector(self, u1_full, u2_full=None):
+        aux_local, axis = self.aux_local, self.axis
+        u2 = u1_full if u2_full is None else u2_full
+
+        def local(*args):
+            lv, u1s, u2s = args[:-2], args[-2], args[-1]
+            lv = list(lv)
+            # vdofs_flat travels in its (nc, nd) layout; flatten locally
+            lv[-1] = lv[-1].reshape(-1)
+            lk = ConvectionKernel.tree_unflatten(aux_local, tuple(lv))
+            return jax.lax.psum(lk.vector(u1s, u2s), axis)
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=tuple(self.in_specs) + (P(), P()),
+            out_specs=P(),
+        )(*self.leaves, u1_full, u2)
+
+
+def make_sharded_cnab_step(prob, dt, mesh: Mesh, axis: str = "elem",
+                           theta=0.5, work_dtype=None):
+    """Increment-form CNAB step with ALL per-step operator work sharded
+    over the element axis (convection assembly, A-matvec, the PCG
+    F-solves of the block-Schur solver); the small dense Schur factors
+    (X, S^{-1}) stay replicated.
+
+    Returns ``(step, bundle)`` with
+    ``step(bundle, (v, nfc_o)) -> (v_n, nfc_c)``; jit/scan-safe — pass
+    ``bundle`` as a pytree argument.
+    """
+    import scipy.sparse as sps
+
+    from ..solve.sadpnt import SchurSaddleSolver
+
+    if work_dtype is None:
+        work_dtype = (jnp.float64 if jax.default_backend() == "cpu"
+                      else jnp.float32)
+    aff = prob.affine_ops(work_dtype)
+    saff = ShardedAffineOps(aff, mesh, axis)
+    kern = ConvectionKernel(prob.ctx, dtype=work_dtype)
+    skern = ShardedConvKernel(kern, mesh, axis)
+    coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
+    solver = SchurSaddleSolver(
+        coeff, prob.Jc, prob.JTc,
+        res_ops=(saff.view("ma", cm=1.0, ca=theta * dt), saff.view("j")),
+        dtype=work_dtype)
+    bundle = dict(
+        solver=solver,
+        kern=skern,
+        aff=saff,
+        invinds=jnp.asarray(prob.invinds),
+        v_bc=jnp.asarray(prob.bc_full_vec()),
+        fv=jnp.asarray(np.asarray(prob.fv).ravel()),
+        zp=jnp.zeros((prob.np_cond,)),
+    )
+    nin = len(prob.invinds)
+
+    def step(b, carry):
+        v, nfc_o = carry
+        v_full = b["v_bc"].at[b["invinds"]].set(v)
+        nfc_c = -b["kern"].vector(v_full)[b["invinds"]]
+        rhs_d = (-dt * b["aff"].a_matvec(v)
+                 + theta * dt * (3 * nfc_c - nfc_o) + dt * b["fv"])
+        sol = b["solver"].solve(rhs_d, b["zp"])
+        return (v + sol[:nin].astype(v.dtype), nfc_c.astype(nfc_o.dtype))
+
+    return step, bundle
