@@ -31,7 +31,10 @@ from .timeint import _build_ops
 
 
 def _make_bundle(prob, dt, inv_dtype=None, fv_extra=None):
-    ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype)
+    # the Newton-in-time GMRES preconditions with the dense Stokes-level
+    # inverse (solver.Kinv) — pin the dense path
+    ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype,
+                     linsolver="dense")
     nd = 2 * prob.ctx.N2.shape[1]
     full2in = np.full(prob.nv_full, len(prob.invinds), dtype=np.int32)
     full2in[prob.invinds] = np.arange(len(prob.invinds), dtype=np.int32)

@@ -76,6 +76,8 @@ def solve_nse(
     return_final_vp=True,
     vel_nwtn_stps=4, vel_nwtn_tol=1e-10, vel_pcrd_stps=2,
     paraviewoutput=False, vfileprfx="results/vel", prvoutpnts=None,
+    krylov=None, krpslvprms=None,
+    linsolver="auto",
     verbose=False,
     **kw,
 ):
@@ -220,6 +222,11 @@ def solve_nse(
             fv_extra=fv_extra,
             controls=controls, save_every=save_every, verbose=verbose, **kw)
 
+    if krylov:
+        # reference kwarg parity (solve_nse docstring
+        # stokes_navier_utils.py:651-664): route the per-step saddle
+        # solves through the matrix-free Krylov path
+        linsolver = "krylov"
     scheme = {"cnab": timeint.cnab, "sbdf2": timeint.sbdf2}[time_int_scheme]
 
     def integrate(tpiece, resume_carry=None):
@@ -229,7 +236,7 @@ def solve_nse(
             f_tdp=f_tdp, g_tdp=g_tdp,
             dynamic_rhs=dynamic_rhs, dynamic_rhs_memory=dynamic_rhs_memory,
             controls=controls, check_ff_maxv=check_ff_maxv,
-            umat=umat, vmat=vmat,
+            umat=umat, vmat=vmat, linsolver=linsolver,
             save_every=save_every, resume_carry=resume_carry,
             verbose=verbose, **kw)
 

@@ -166,25 +166,53 @@ def plot_outp_sig(str_to_json=None, tmeshkey="tmesh", sigkey="outsig",
 
 class Timer:
     """Wall-clock context manager (data_output_utils.py:391-412); also
-    hooks ``jax.block_until_ready``-style sync via an optional callable."""
+    hooks ``jax.block_until_ready``-style sync via an optional callable.
+
+    ``trace_dir``: when set, the timed region is additionally captured
+    with ``jax.profiler`` (XLA/TPU op-level traces viewable in
+    TensorBoard/Perfetto) — the TPU-native upgrade of the reference's
+    wall-clock-only Timer (SURVEY.md section 5.1).
+    ``annotate``: wrap the region in a named ``TraceAnnotation`` so it is
+    findable inside an enclosing profiler capture.
+    """
 
     def __init__(self, name="timer", logger=None, timerinfo={}, sync=None,
-                 verbose=True):
+                 verbose=True, trace_dir=None, annotate=False):
         self.name = name
         self.logger = logger
         self.timerinfo = timerinfo
         self.sync = sync
         self.verbose = verbose
+        self.trace_dir = trace_dir
+        self.annotate = annotate
+        self._ann = None
 
     def __enter__(self):
         if self.sync is not None:
             self.sync()
+        if self.trace_dir is not None:
+            import jax
+
+            jax.profiler.start_trace(self.trace_dir)
+        if self.annotate:
+            import jax
+
+            self._ann = jax.profiler.TraceAnnotation(self.name)
+            self._ann.__enter__()
         self.tstart = time.perf_counter()
         return self
 
     def __exit__(self, *args):
         if self.sync is not None:
             self.sync()
+        if self._ann is not None:
+            self._ann.__exit__(None, None, None)
+        if self.trace_dir is not None:
+            import jax
+
+            jax.profiler.stop_trace()
+            logging.info(f"{self.name}: jax trace written to "
+                         f"{self.trace_dir}")
         self.elapsed = time.perf_counter() - self.tstart
         self.timerinfo.update({self.name: self.elapsed})
         msg = f"{self.name}: Elapsed time: {self.elapsed:.6f}s"

@@ -81,3 +81,18 @@ def test_pvd_writer(tmp_path):
         assert os.path.exists(pref + "_000000.vtu")
         txt = open(pref + ".pvd").read()
         assert txt.count("DataSet") == 2
+
+
+def test_timer_trace_annotation(tmp_path):
+    """Timer's jax.profiler hooks: trace capture writes a profile dir
+    (SURVEY section 5.1 names jax.profiler as the tracing upgrade)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from dolfin_navier_scipy_tpu.utils.io import Timer
+
+    td = str(tmp_path / "trace")
+    with Timer("traced-op", trace_dir=td, annotate=True, verbose=False):
+        jnp.ones((64, 64)).sum().block_until_ready()
+    assert os.path.isdir(td) and os.listdir(td)
