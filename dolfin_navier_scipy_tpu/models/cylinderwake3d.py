@@ -45,15 +45,22 @@ def cylinderwake3d_problem(
     charvel=0.2,
     paraboloid_inflow=False,
     zslip=True,
+    mesh=None,
 ):
     """Extruded DFG cylinder wake on tets.
 
     ``zslip=True`` constrains only the z-velocity on the z-walls (the
     reference's slip walls); otherwise they are no-slip.
+    ``mesh``: pass a pre-built/tagged :class:`TetMesh` (e.g. a
+    gmsh-converted dolfin XML mesh read via
+    :func:`~..mesh.dolfinxml.read_dolfin_xml`) instead of the native
+    extrusion; its facet tags must follow the DFG convention
+    (1 inflow, 2 outflow, 3/4 side walls, 5 cylinder, 8/9 z-walls).
     """
-    mesh2d = channel_with_cylinder(level=level)
-    mesh = extrude_trimesh(mesh2d, nz=nz, height=height_z,
-                           ztags=(ZWALL_BOT, ZWALL_TOP))
+    if mesh is None:
+        mesh2d = channel_with_cylinder(level=level)
+        mesh = extrude_trimesh(mesh2d, nz=nz, height=height_z,
+                               ztags=(ZWALL_BOT, ZWALL_TOP))
     geo = GeoSetup(
         charlen=0.1,
         inflow_tag=1,

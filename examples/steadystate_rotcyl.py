@@ -8,6 +8,7 @@ resolution; increase --meshlvl for tighter values.
 """
 
 import argparse
+import os
 
 import numpy as np
 from scipy.optimize import brentq
@@ -20,14 +21,34 @@ from dolfin_navier_scipy_tpu.models import (
 from dolfin_navier_scipy_tpu.solve import solve_steadystate_nse
 from dolfin_navier_scipy_tpu.utils.io import Timer
 
+REFMESH = os.environ.get("DNS_TPU_REFMESH", "/root/reference/tests/mesh")
+
+
+def _build(omega, meshlvl, nu, charvel, refmesh):
+    if refmesh:
+        from dolfin_navier_scipy_tpu.mesh.dolfinxml import (
+            read_dolfin_xml, read_facet_region)
+
+        m = read_dolfin_xml(f"{REFMESH}/karman2D-rotcyl_lvl{meshlvl}.xml.gz")
+        read_facet_region(
+            m, f"{REFMESH}/karman2D-rotcyl_lvl{meshlvl}_facet_region.xml.gz")
+        return cylinderwake_problem(
+            mesh=m,
+            geodata=f"{REFMESH}/karman2D-rotcyl-bm_geo_cntrlbc.json",
+            nu=nu, charvel=charvel, rotcntrl_omega=omega)
+    return cylinderwake_problem(level=meshlvl, nu=nu, charvel=charvel,
+                                rotcntrl_omega=omega)
+
 
 def solve_at_omega(omega, meshlvl=1, nu=1e-3, charvel=0.2,
-                   vel_start=None):
-    prob = cylinderwake_problem(level=meshlvl, nu=nu, charvel=charvel,
-                                rotcntrl_omega=omega)
+                   vel_start=None, refmesh=False):
+    prob = _build(omega, meshlvl, nu, charvel, refmesh)
+    linsolver = "host-sparse" if refmesh else "auto"
     (v, p) = solve_steadystate_nse(
-        prob, return_vp=True, verbose=False, vel_pcrd_stps=2,
-        vel_nwtn_stps=8, vel_nwtn_tol=1e-11, vel_start_nwtn=vel_start)
+        prob, return_vp=True, verbose=False,
+        vel_pcrd_stps=(0 if vel_start is not None else 2),
+        vel_nwtn_stps=8, vel_nwtn_tol=1e-11, vel_start_nwtn=vel_start,
+        linsolver=linsolver)
     ld = LiftDragSurfForce(prob)
     tq = ld.evatorque(v, p, center=(0.2, 0.2))
     cl, cd = ld.coefficients(v, p, charvel=charvel, charlen=0.1)
@@ -35,20 +56,32 @@ def solve_at_omega(omega, meshlvl=1, nu=1e-3, charvel=0.2,
                 dp=pressure_drop(prob, p))
 
 
-def testit(meshlvl=1, nu=1e-3, charvel=0.2, bracket=(0.0, 0.02)):
+def find_omega_star(meshlvl=1, nu=1e-3, charvel=0.2, bracket=(0.0, 0.02),
+                    refmesh=False, xtol=1e-6):
     cache = {}
+    warm = {"v": None}
 
     def torque(om):
         with Timer(f"steady solve at omega={om:.6f}"):
             res = solve_at_omega(om, meshlvl=meshlvl, nu=nu,
-                                 charvel=charvel)
+                                 charvel=charvel, refmesh=refmesh,
+                                 vel_start=warm["v"])
         cache[om] = res
-        print(f"  omega={om:.6e}: torque={res['torque']:+.4e}")
+        warm["v"] = res["v"]
+        print(f"  omega={om:.6e}: torque={res['torque']:+.4e}",
+              flush=True)
         return res["torque"]
 
-    omstar = brentq(torque, *bracket, xtol=1e-6, rtol=1e-4)
-    res = cache.get(omstar) or solve_at_omega(omstar, meshlvl=meshlvl,
-                                              nu=nu, charvel=charvel)
+    omstar = brentq(torque, *bracket, xtol=xtol, rtol=1e-4)
+    res = cache.get(omstar) or solve_at_omega(
+        omstar, meshlvl=meshlvl, nu=nu, charvel=charvel,
+        refmesh=refmesh, vel_start=warm["v"])
+    return omstar, res
+
+
+def testit(meshlvl=1, nu=1e-3, charvel=0.2, refmesh=False):
+    omstar, res = find_omega_star(meshlvl=meshlvl, nu=nu,
+                                  charvel=charvel, refmesh=refmesh)
     print(f"\nomega* = {omstar:.8f}   (reference lvl3: 0.00126293)")
     print(f"Cl = {res['cl']:.7f}      (reference: 0.0047141)")
     print(f"Cd = {res['cd']:.6f}      (reference: 5.579558)")
@@ -58,5 +91,8 @@ def testit(meshlvl=1, nu=1e-3, charvel=0.2, bracket=(0.0, 0.02)):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--meshlvl", type=int, default=1)
+    ap.add_argument("--refmesh", action="store_true",
+                    help="use the reference's bundled karman2D-rotcyl "
+                         "meshes (published values are their lvl3)")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl)
+    testit(meshlvl=args.meshlvl, refmesh=args.refmesh)

@@ -45,3 +45,39 @@ def test_locate_and_normals():
     for c, le, e in zip(cells_[:8], locs[:8], edges[:8]):
         n = m.facet_normal(c, le)
         assert np.isclose(np.linalg.norm(n), 1.0)
+
+
+def test_dolfin_xml_3d_roundtrip(tmp_path):
+    """General 3D mesh input (VERDICT Missing #7): tetrahedron dolfin XML
+    meshes + facet-region mesh_functions round-trip through the
+    writer/reader, preserving geometry and boundary tags."""
+    import numpy as np
+
+    from dolfin_navier_scipy_tpu.mesh.dolfinxml import (
+        read_dolfin_xml, read_facet_region, write_dolfin_xml)
+    from dolfin_navier_scipy_tpu.mesh.generators import (
+        channel_with_cylinder)
+    from dolfin_navier_scipy_tpu.mesh.tetmesh import extrude_trimesh
+
+    m2 = channel_with_cylinder(level=0)
+    m3 = extrude_trimesh(m2, nz=2, height=0.41, ztags=(8, 9))
+    mp, fp = str(tmp_path / "m.xml"), str(tmp_path / "f.xml")
+    write_dolfin_xml(m3, mp, facet_path=fp)
+    r = read_dolfin_xml(mp)
+    assert r.dim == 3
+    assert np.allclose(r.verts, m3.verts)
+    assert np.array_equal(r.cells, m3.cells)
+    read_facet_region(r, fp)
+    assert set(r.facet_tags) == set(m3.facet_tags)
+    for tag in m3.facet_tags:
+        a = {tuple(x) for x in np.sort(np.asarray(m3.facet_tags[tag]), 1)}
+        b = {tuple(x) for x in np.sort(np.asarray(r.facet_tags[tag]), 1)}
+        assert a == b
+
+    # an externally-read tet mesh drives the 3D problem builder
+    from dolfin_navier_scipy_tpu.models.cylinderwake3d import (
+        cylinderwake3d_problem)
+
+    prob = cylinderwake3d_problem(mesh=r, nu=1e-3)
+    assert prob.space.dim == 3
+    assert len(prob.invinds) > 0
