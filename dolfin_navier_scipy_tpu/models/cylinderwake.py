@@ -124,6 +124,14 @@ def geosetup_from_json(path_or_dict, inflowvel=1.0, movingwallcntrl=False,
                 arc_control_shapefun(cbc["center"], cbc["radius"],
                                      cbc["angle"], cbc["width"])
             )
+        elif ctype == "rotating circle":
+            # whole-surface tangential (rotation) control — the
+            # reference's double-rotcyl Robin-control geometry
+            # (2D-double-rotcyl_geo_cntrlbc_rotcntrl.json; consumed at
+            # problem_setups.py:929-941)
+            geo.control_shapefuns.append(
+                rotating_circle_fn(cbc["center"], cbc["radius"], 1.0)
+            )
         else:
             raise NotImplementedError(ctype)
     if not bccontrol:

@@ -48,6 +48,7 @@ def _make_bundle(prob, dt, inv_dtype=None, fv_extra=None):
         ops=ops,
         kern=prob.conv_kernel,
         invinds=jnp.asarray(prob.invinds),
+        cdofs=jnp.zeros((0,), dtype=jnp.int32),
         v_bc=jnp.asarray(prob.bc_full_vec()),
         fv=jnp.asarray(fv),
         fp=jnp.asarray(np.asarray(prob.fp).ravel()),
@@ -66,17 +67,24 @@ def _n_matvec(b, elem, x_inner):
     return out[:nin]
 
 
-def _conv_data(b, v_lin_inner, picard):
-    """Element matrices + rhs contributions at a linearization point."""
-    v_full = b["v_bc"].at[b["invinds"]].set(v_lin_inner)
+def _conv_data(b, v_lin_inner, picard, cvals=None):
+    """Element matrices + rhs contributions at a linearization point.
+
+    With Dirichlet control, ``cvals`` are the control-dof values at this
+    time point: embedding them into the full state folds the convection
+    columns of the controlled dofs into ``conbc`` automatically."""
+    vbc_t = (b["v_bc"] if cvals is None
+             else b["v_bc"].at[b["cdofs"]].set(cvals))
+    v_full = vbc_t.at[b["invinds"]].set(v_lin_inner)
     kern = b["kern"]
     elem = kern.element_matrices(v_full, picard_only=picard)
     nd = elem.shape[1] * elem.shape[2]
     elem = elem.reshape(-1, nd, nd)
-    # bc-column folding: -N @ u_bc (matrix-free, two-field conv vectors)
-    conbc = kern.vector(b["v_bc"], v_full)
+    # bc-column folding: -N @ u_bc (matrix-free, two-field conv vectors);
+    # the boundary state includes the control values
+    conbc = kern.vector(vbc_t, v_full)
     if not picard:
-        conbc = conbc + kern.vector(v_full, b["v_bc"])
+        conbc = conbc + kern.vector(v_full, vbc_t)
     rhs = b["fv"] - conbc[b["invinds"]]
     if not picard:
         rhs = rhs + kern.vector(v_full)[b["invinds"]]
@@ -85,14 +93,17 @@ def _conv_data(b, v_lin_inner, picard):
 
 @partial(jax.jit,
          static_argnames=("picard", "gmres_restart", "gmres_maxiter",
-                          "gmres_tol", "krylovini"))
-def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
+                          "gmres_tol", "krylovini", "has_controls"))
+def _sweep(b, lin_traj, iniv, umat, vmat, ctl=None, picard=False,
            gmres_restart=20, gmres_maxiter=3, gmres_tol=1e-12,
-           krylovini="old"):
+           krylovini="old", has_controls=False):
     """One Newton/Picard sweep over the whole time horizon.
 
     ``lin_traj (Nts+1, nin)``; ``umat (nin,k)/vmat (k,nin)`` static
-    feedback (pass (nin,0)-shaped zeros when unused).  Returns
+    feedback (pass (nin,0)-shaped zeros when unused); ``ctl`` a dict of
+    per-step Dirichlet-control arrays (cvals/bfv/bfp/mbc trajectories,
+    evaluated along the linearization trajectory — reference
+    stokes_navier_utils.py:1434-1441).  Returns
     ``(v_traj, p_traj[1:], update_norm)``.
     """
     ops = b["ops"]
@@ -120,17 +131,33 @@ def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
     def precond(x):
         return (solver.Kinv @ x.astype(solver.inv_dtype)).astype(x.dtype)
 
-    elem0, rhs0 = _conv_data(b, lin_traj[0], picard)
+    if has_controls:
+        elem0, rhs0 = _conv_data(b, lin_traj[0], picard,
+                                 cvals=ctl["cvals"][0])
+        carry0_ctl = (ctl["bfv"][0], ctl["mbc"][0])
+        xs_ctl = (ctl["cvals"][1:], ctl["bfv"][1:], ctl["bfp"][1:],
+                  ctl["mbc"][1:])
+    else:
+        elem0, rhs0 = _conv_data(b, lin_traj[0], picard)
+        carry0_ctl = (0.0, 0.0)
+        xs_ctl = None
 
-    def step(carry, lin_n):
-        v_old, x_prev, x_pprev, elem_c, rhs_c = carry
-        elem_n, rhs_n = _conv_data(b, lin_n, picard)
+    def step(carry, xn):
+        v_old, x_prev, x_pprev, elem_c, rhs_c, bfv_c, mbc_c = carry
+        if has_controls:
+            lin_n, (cvals_n, bfv_n, bfp_n, mbc_n) = xn
+            elem_n, rhs_n = _conv_data(b, lin_n, picard, cvals=cvals_n)
+        else:
+            lin_n, _ = xn
+            elem_n, rhs_n = _conv_data(b, lin_n, picard)
+            bfv_n = bfp_n = mbc_n = 0.0
         rhsv = (ops.e_matvec(v_old)
                 - 0.5 * dt * _n_matvec(b, elem_c, v_old)
-                + 0.5 * dt * (rhs_c + rhs_n))
+                + 0.5 * dt * (rhs_c + rhs_n + bfv_c + bfv_n)
+                - (mbc_n - mbc_c))
         if umat.shape[1]:
             rhsv = rhsv + 0.5 * dt * (umat @ (vmat @ v_old))
-        rhs = jnp.concatenate([rhsv, b["fp"]])
+        rhs = jnp.concatenate([rhsv, b["fp"] + bfp_n])
         # Krylov warm start: 'old' reuses the last solution, 'upd'
         # linearly extrapolates (reference krylovini,
         # stokes_navier_utils.py:1493-1503)
@@ -144,11 +171,13 @@ def _sweep(b, lin_traj, iniv, umat, vmat, picard=False,
         )
         v_new = x[:nin]
         p_new = -x[nin:] / dt
-        return (v_new, x, x_prev, elem_n, rhs_n), (v_new, p_new)
+        return (v_new, x, x_prev, elem_n, rhs_n, bfv_n, mbc_n), \
+            (v_new, p_new)
 
     x0 = jnp.concatenate([iniv, jnp.zeros((npp,))])
-    _, (vs, ps) = lax.scan(step, (iniv, x0, x0, elem0, rhs0),
-                           lin_traj[1:])
+    _, (vs, ps) = lax.scan(
+        step, (iniv, x0, x0, elem0, rhs0) + carry0_ctl,
+        (lin_traj[1:], xs_ctl))
     v_traj = jnp.concatenate([iniv[None], vs], axis=0)
     dv = v_traj - lin_traj
     nrm = jnp.sqrt(jnp.abs(
@@ -172,15 +201,50 @@ def solve_nse_newton_ti(
     (Nts+1, nin) array -> about that trajectory (the reference's
     ``dictofvelstrs`` mechanism, time_dep_nse_linearizations.py:35-60).
     """
-    if controls:
-        raise NotImplementedError(
-            "Dirichlet control in the implicit path: use the semi-explicit "
-            "integrators for controlled runs (reference drivers do too)")
     trange = np.asarray(trange)
     dt = float(trange[1] - trange[0])
     nts = len(trange) - 1
     b = _make_bundle(prob, dt, fv_extra=fv_extra)
     nin = b["ops"].nin
+
+    if controls:
+        # Dirichlet control in the implicit path (reference
+        # stokes_navier_utils.py:1434-1441): control values are
+        # evaluated along the PREVIOUS sweep's trajectory; their
+        # stiffness/divergence/mass contributions become per-step scan
+        # inputs, and the convection coupling enters through the
+        # bc-embedded linearization state
+        cdofs = np.concatenate([np.asarray(c.dofs) for c in controls])
+        b["cdofs"] = jnp.asarray(cdofs)
+        Afull, Jfull, Mfull = (prob.full["A"], prob.full["J"],
+                               prob.full["M"])
+        Abc = np.asarray(Afull[:, cdofs].todense())[prob.invinds]
+        Jbc = np.asarray(Jfull[:, cdofs].todense())
+        if prob.geo.ppin is not None:
+            Jbc = Jbc[:-1]
+        Mbc = np.asarray(Mfull[:, cdofs].todense())[prob.invinds]
+        stencils = [np.asarray(c.stencil) for c in controls]
+        bcfull = np.asarray(prob.bc_full_vec())
+
+        def build_ctl(lin_traj, tloc):
+            mems = [c.memory for c in controls]
+            CV = np.zeros((len(tloc), len(cdofs)))
+            for i, t in enumerate(tloc):
+                vf = bcfull.copy()
+                vf[prob.invinds] = np.asarray(lin_traj[i])
+                vals = []
+                for k, c in enumerate(controls):
+                    scal, mems[k] = c.ufunc(
+                        t, vf, None, mems[k],
+                        "init" if i == 0 else "abtwo")
+                    vals.append(float(scal) * stencils[k])
+                CV[i] = np.concatenate(vals)
+            return dict(cvals=jnp.asarray(CV),
+                        bfv=jnp.asarray(-(CV @ Abc.T)),
+                        bfp=jnp.asarray(-(CV @ Jbc.T)),
+                        mbc=jnp.asarray(CV @ Mbc.T))
+    else:
+        build_ctl = None
 
     iniv = jnp.asarray(np.asarray(iniv).ravel())
     if lin_vel_point is None:
@@ -206,13 +270,15 @@ def solve_nse_newton_ti(
     log = logging.getLogger(__name__)
     norms, ps = [], None
 
-    def sweeps(lin_traj, iniv, nwtn_stps, pcrd_stps):
+    def sweeps(lin_traj, iniv, nwtn_stps, pcrd_stps, tloc):
         """Picard->Newton sweeps over one (sub)trajectory."""
         ps = None
         for k in range(pcrd_stps + nwtn_stps):
             picard = k < pcrd_stps
+            ctl = None if build_ctl is None else build_ctl(lin_traj, tloc)
             v_traj, ps, nrm = _sweep(
-                b, lin_traj, iniv, umat, vmat, picard=picard,
+                b, lin_traj, iniv, umat, vmat, ctl=ctl, picard=picard,
+                has_controls=build_ctl is not None,
                 gmres_restart=gmres_restart, gmres_maxiter=gmres_maxiter,
                 krylovini=krylovini)
             norms.append(float(nrm))
@@ -225,7 +291,8 @@ def solve_nse_newton_ti(
         return lin_traj, ps
 
     if nsects <= 1:
-        lin_traj, ps = sweeps(lin_traj, iniv, vel_nwtn_stps, vel_pcrd_stps)
+        lin_traj, ps = sweeps(lin_traj, iniv, vel_nwtn_stps, vel_pcrd_stps,
+                              trange)
     else:
         # temporal sectioning: Newton confined to time segments
         # (reference nsects, stokes_navier_utils.py:1076-1087) with the
@@ -237,7 +304,8 @@ def solve_nse_newton_ti(
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
             seg_lin = lin_traj[s0:s1 + 1]
             seg_traj, seg_ps = sweeps(seg_lin, seg_ini,
-                                      vel_nwtn_stps, vel_pcrd_stps)
+                                      vel_nwtn_stps, vel_pcrd_stps,
+                                      trange[s0:s1 + 1])
             parts_v.append(seg_traj[(1 if s0 else 0):])
             parts_p.append(seg_ps)
             seg_ini = seg_traj[-1]
@@ -246,7 +314,7 @@ def solve_nse_newton_ti(
         lin_traj = jnp.concatenate(parts_v, axis=0)
         ps = jnp.concatenate(parts_p, axis=0)
         if addfullsweep:
-            lin_traj, ps = sweeps(lin_traj, iniv, vel_nwtn_stps, 0)
+            lin_traj, ps = sweeps(lin_traj, iniv, vel_nwtn_stps, 0, trange)
 
     p_traj = jnp.concatenate(
         [jnp.asarray(np.asarray(inip).ravel())[None], ps], axis=0)

@@ -86,3 +86,46 @@ def test_nsects_sectioning(cavity):
     nrm = float(np.sqrt(abs(dv @ (prob.Mc @ dv))))
     assert nrm < 1e-9, nrm
     assert sect["v_traj"].shape == full["v_traj"].shape
+
+
+def test_newton_ti_dirichlet_control_matches_cnab():
+    """Dirichlet (rotating-cylinder) control in the implicit
+    Newton-in-time path (was NotImplementedError; reference
+    stokes_navier_utils.py:1434-1441): both 2nd-order schemes must agree
+    at the truncation-error level on a short horizon."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from dolfin_navier_scipy_tpu.models import cylinderwake_problem
+    from dolfin_navier_scipy_tpu.solve import (
+        cnab, solve_steadystate_nse)
+    from dolfin_navier_scipy_tpu.solve.newton_ti import solve_nse_newton_ti
+    from dolfin_navier_scipy_tpu.solve.timeint import DirichletControl
+
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2,
+                                movingwallcntrl=True)
+    dofs, stencil = prob.dircntrl[0]
+    vss = solve_steadystate_nse(prob, verbose=False, vel_pcrd_stps=2,
+                                vel_nwtn_stps=5, vel_nwtn_tol=1e-10)
+    v0 = vss.ravel()[prob.invinds]
+
+    def ufunc(t, v_full, p, memory, mode):
+        return jnp.sin(20.0 * t), memory
+
+    ctrl = DirichletControl(dofs=dofs, stencil=stencil, ufunc=ufunc)
+    trange = np.linspace(0, 0.05, 101)
+    o_se = cnab(trange=trange, prob=prob, inivel=v0, controls=[ctrl],
+                save_every=None)
+    o_ti = solve_nse_newton_ti(prob=prob, trange=trange, iniv=v0,
+                               inip=np.zeros(prob.np_cond),
+                               controls=[ctrl], vel_nwtn_stps=4,
+                               vel_nwtn_tol=1e-12, save_every=None)
+    assert not o_se["ffflag"]
+    rel = (np.linalg.norm(np.asarray(o_ti["v"]) - np.asarray(o_se["v"]))
+           / np.linalg.norm(np.asarray(o_se["v"])))
+    assert rel < 2e-4, rel
+    # the actuation must actually move the flow
+    o_no = cnab(trange=trange, prob=prob, inivel=v0, save_every=None)
+    assert (np.linalg.norm(np.asarray(o_se["v"]) - np.asarray(o_no["v"]))
+            / np.linalg.norm(np.asarray(o_no["v"]))) > 1e-6
