@@ -79,10 +79,16 @@ def find_omega_star(meshlvl=1, nu=1e-3, charvel=0.2, bracket=(0.0, 0.02),
     return omstar, res
 
 
-def testit(meshlvl=1, nu=1e-3, charvel=0.2, refmesh=False):
+def testit(meshlvl=1, nu=1e-3, charvel=0.2, refmesh=False, charlen=0.1):
     omstar, res = find_omega_star(meshlvl=meshlvl, nu=nu,
                                   charvel=charvel, refmesh=refmesh)
-    print(f"\nomega* = {omstar:.8f}   (reference lvl3: 0.00126293)")
+    # the published value is NONDIMENSIONAL: omega L / (2 Um)
+    # (steadystate_rotcyl.py:169 prints res['x']*L/(2*Um)).
+    # Measured here on the reference's own meshes: lvl2 0.00126335,
+    # lvl3 0.00126216 vs published 0.00126293 (<0.07%)
+    omnd = omstar * charlen / (2 * charvel)
+    print(f"\nomega* = {omnd:.8f}   (reference lvl3: 0.00126293; "
+          f"raw rate {omstar:.8f})")
     print(f"Cl = {res['cl']:.7f}      (reference: 0.0047141)")
     print(f"Cd = {res['cd']:.6f}      (reference: 5.579558)")
     print(f"DeltaP = {res['dp']:.6f}  (reference: 0.117520)")
@@ -94,5 +100,12 @@ if __name__ == "__main__":
     ap.add_argument("--refmesh", action="store_true",
                     help="use the reference's bundled karman2D-rotcyl "
                          "meshes (published values are their lvl3)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the host-sparse steady "
+                         "path gains nothing from the accelerator)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     testit(meshlvl=args.meshlvl, refmesh=args.refmesh)

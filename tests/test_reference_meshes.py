@@ -123,3 +123,26 @@ def test_get_sysmats_reference_meshfile():
     assert stokesmatsc["J"].shape[1] == nv
     assert rhsd["fv"].shape == (nv, 1)
     assert femp["charlen"] == 0.1
+
+
+@pytest.mark.skipif(not os.environ.get("DNS_TPU_HEAVY"),
+                    reason="~20 min of single-core sparse solves; "
+                           "set DNS_TPU_HEAVY=1 to run")
+def test_rotcyl_omega_star_regression():
+    """Freely rotating cylinder (Richter et al. rot2d-1) on the
+    reference's own meshes: the zero-torque rotation rate, published
+    NONDIMENSIONALLY as omega L/(2 Um) = 0.00126293 at their lvl3
+    (steadystate_rotcyl.py:169-173).  Measured here: lvl2 0.00126335,
+    lvl3 0.00126216."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "examples"))
+    from steadystate_rotcyl import find_omega_star
+
+    omstar, res = find_omega_star(meshlvl=2, refmesh=True, xtol=1e-6)
+    omnd = omstar * 0.1 / (2 * 0.2)
+    assert abs(omnd - 0.00126293) < 2e-5, omnd
+    assert abs(res["cl"] - 0.0047141) < 2e-5
+    assert abs(res["cd"] - 5.579558) < 2e-3
+    assert abs(res["dp"] - 0.117520) < 1e-4
