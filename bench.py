@@ -176,6 +176,7 @@ def level2_steps_per_sec():
 
     code = (
         "import json, bench;"
+        "bench._arm_cache();"
         "prob, dt = bench.build(level=2);"
         "sps_, v, _ = bench.device_steps_per_sec("
         "    prob, dt, nsteps=300, mode='accurate', linsolver='schur');"
@@ -186,7 +187,7 @@ def level2_steps_per_sec():
     )
     try:
         out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=1500,
+                             capture_output=True, text=True, timeout=2400,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
