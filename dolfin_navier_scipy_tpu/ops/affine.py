@@ -78,7 +78,12 @@ class AffineVectorOps:
 
     # -- construction --------------------------------------------------------
     @classmethod
-    def build(cls, prob, dtype=jnp.float64):
+    def build(cls, prob, dtype=jnp.float64, full_dofs=False):
+        """``full_dofs=True`` builds matvecs over the FULL velocity dof
+        vector (bc dofs included): no inner<->full index translation per
+        application — the fast state layout for time stepping, where a
+        zero-padded solver masks the bc rows (outputs carry element
+        contributions at bc rows; callers must ignore them)."""
         ctx = prob.ctx
         space = prob.space
         Q = ctx.N2.shape[0]
@@ -98,11 +103,15 @@ class AffineVectorOps:
         Mref = np.einsum("q,qa,qb->ab", ctx.qwts, ctx.N2, ctx.N2)
         MrefI2 = np.kron(Mref, np.eye(dim))
 
-        nin = len(prob.invinds)
-        full2in = np.full(prob.nv_full + 1, nin, dtype=np.int32)
-        full2in[prob.invinds] = np.arange(nin, dtype=np.int32)
-        vd = space.vdofs_of_cells().reshape(-1, nd)
-        vdofs = full2in[vd]
+        if full_dofs:
+            nin = prob.nv_full
+            vdofs = space.vdofs_of_cells().reshape(-1, nd)
+        else:
+            nin = len(prob.invinds)
+            full2in = np.full(prob.nv_full + 1, nin, dtype=np.int32)
+            full2in[prob.invinds] = np.arange(nin, dtype=np.int32)
+            vd = space.vdofs_of_cells().reshape(-1, nd)
+            vdofs = full2in[vd]
 
         npc = prob.np_cond
         p_full2c = np.full(space.np_full, npc, dtype=np.int32)

@@ -148,8 +148,11 @@ def _ns_polish(Keq, Z, iters):
     return Z
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _devinv_jit(Keq, dinv, iters):
+@partial(jax.jit, static_argnames=("iters", "n"))
+def _devinv_jit(rows, cols, vals, dinv, iters, n):
+    # densify the (equilibrated) sparse K on device: shipping 4 MB of
+    # triplets beats pushing the 257 MB dense array through the tunnel
+    Keq = jnp.zeros((n, n), jnp.float32).at[rows, cols].set(vals)
     Z = jnp.linalg.inv(Keq)
     Z = _ns_polish(Keq, Z, iters)
     return (Z * dinv[:, None]) * dinv[None, :]
@@ -157,18 +160,21 @@ def _devinv_jit(Keq, dinv, iters):
 
 def _device_f32_inverse(K, ns_iters=2):
     """f32 saddle inverse built ON the accelerator: symmetric max-norm
-    equilibration (host) -> device f32 LU inverse -> Newton-Schulz
-    polish -> un-equilibrate.  ~1 s at 8k dofs vs minutes for a
-    single-core host O(n^3) inversion.
+    equilibration (host, sparse) -> device densify + f32 LU inverse ->
+    Newton-Schulz polish -> un-equilibrate.  ~1 s at 8k dofs vs minutes
+    for a single-core host O(n^3) inversion.
 
     Returns a DEVICE f32 array re-materialized into a dense default
     layout: the LU kernel's output layout makes subsequent matvecs ~4x
     slower if kept (measured 1678 vs 430 us at 8k)."""
-    d = np.sqrt(np.abs(K).max(axis=1))
+    Ks = sps.coo_matrix(K)
+    n = Ks.shape[0]
+    d = np.sqrt(np.abs(sps.csr_matrix(Ks)).max(axis=1).toarray().ravel())
     d[d == 0] = 1.0
-    Keq = jnp.asarray((K / d[:, None]) / d[None, :], jnp.float32)
-    dinv = jnp.asarray(1.0 / d, jnp.float32)
-    Z = _devinv_jit(Keq, dinv, ns_iters)
+    vals = (Ks.data / d[Ks.row]) / d[Ks.col]
+    Z = _devinv_jit(jnp.asarray(Ks.row), jnp.asarray(Ks.col),
+                    jnp.asarray(vals, jnp.float32),
+                    jnp.asarray(1.0 / d, jnp.float32), ns_iters, n)
     # eager re-materialization fixes the inherited LU layout
     return jnp.where(jnp.abs(Z) < np.float32(1.2e-38), np.float32(0.0), Z)
 
@@ -217,10 +223,6 @@ class InverseSaddleSolver:
         self.nv, self.np = nv, npp
         jT = jmat.T if jmatT is None else jmatT
 
-        K = np.zeros((nv + npp, nv + npp))
-        K[:nv, :nv] = _to_dense(amat)
-        K[:nv, nv:] = _to_dense(jT)
-        K[nv:, :nv] = _to_dense(jmat)
         n_all = nv + npp
         on_tpu = jax.default_backend() not in ("cpu",)
         if inv_method == "auto":
@@ -230,8 +232,14 @@ class InverseSaddleSolver:
             # polish (exact-f32 matmuls) reaches ~1e-6 quality in <1 s.
             inv_method = "device" if (on_tpu and n_all > 3000) else "host"
         if inv_method == "device":
-            Kinv = _device_f32_inverse(K, ns_iters=ns_iters)
+            # keep K sparse: ship triplets, densify on device
+            Ksp = sps.bmat([[amat, jT], [jmat, None]], format="coo")
+            Kinv = _device_f32_inverse(Ksp, ns_iters=ns_iters)
         else:
+            K = np.zeros((n_all, n_all))
+            K[:nv, :nv] = _to_dense(amat)
+            K[:nv, nv:] = _to_dense(jT)
+            K[nv:, :nv] = _to_dense(jmat)
             try:
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
@@ -418,12 +426,16 @@ class SchurSaddleSolver:
             return self.Jop.matvec(x)
         return self.J_ell.matvec(x)
 
-    def _fsolve(self, b):
-        """Jacobi-PCG with a static iteration count."""
+    def _fsolve(self, b, x0=None, niter=None):
+        """Jacobi-PCG with a static iteration count (warm-startable)."""
         import jax.lax as lax
 
-        x = jnp.zeros_like(b)
-        r = b
+        if x0 is None:
+            x = jnp.zeros_like(b)
+            r = b
+        else:
+            x = x0.astype(b.dtype)
+            r = b - self._fmv(x)
         z = self.dinv * r
         p = z
         rz = r @ z
@@ -440,7 +452,8 @@ class SchurSaddleSolver:
             beta = rz_n / jnp.where(rz == 0, 1.0, rz)
             return (x, r, z + beta * p, rz_n)
 
-        x, _, _, _ = lax.fori_loop(0, self.ncg, body, (x, r, p, rz))
+        x, _, _, _ = lax.fori_loop(0, niter or self.ncg, body,
+                                   (x, r, p, rz))
         return x
 
     def solve(self, rhsv, rhsp):
@@ -451,6 +464,24 @@ class SchurSaddleSolver:
         q = self.Sinv @ (self._jmv(y) - bp)
         v = y - self.X @ q
         return jnp.concatenate([v, q])
+
+    @property
+    def ncg_warm(self):
+        # warm starts begin O(dt) away in relative residual: two thirds
+        # of the cold count holds the same tolerance in practice
+        return max(6, (2 * self.ncg) // 3)
+
+    def solve_warm(self, rhsv, rhsp, y0):
+        """Warm-started variant for time stepping: pass the previous
+        step's velocity-block solve ``y`` (returned as the third field)
+        — consecutive increment solves differ by O(dt), so the PCG
+        starts near the solution and needs ~2/3 the iterations."""
+        bv = rhsv.reshape(-1).astype(self.dtype)
+        bp = rhsp.reshape(-1).astype(self.dtype)
+        y = self._fsolve(bv, x0=y0, niter=self.ncg_warm)
+        q = self.Sinv @ (self._jmv(y) - bp)
+        v = y - self.X @ q
+        return jnp.concatenate([v, q]), y
 
 
 @jax.tree_util.register_pytree_node_class

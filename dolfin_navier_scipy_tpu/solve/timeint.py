@@ -60,7 +60,8 @@ class DirichletControl:
 class TimeIntOps:
     """Device operator bundle (pytree) for the semi-explicit integrators."""
 
-    def __init__(self, solver, M, A, dt, theta, E=None):
+    def __init__(self, solver, M, A, dt, theta, E=None,
+                 wdtype=jnp.float64):
         self.solver = solver
         self.M = M
         self.A = A
@@ -68,6 +69,7 @@ class TimeIntOps:
         self.dt = dt
         self.theta = theta
         self.nin = M.shape[0]
+        self.wdtype = wdtype   # per-step work precision (f32 on TPU)
 
     def e_matvec(self, v):
         """``(M - theta dt A) @ v`` — one fused pass when available."""
@@ -77,13 +79,13 @@ class TimeIntOps:
 
     def tree_flatten(self):
         return ((self.solver, self.M, self.A, self.E),
-                (self.dt, self.theta, self.nin))
+                (self.dt, self.theta, self.nin, self.wdtype))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj.solver, obj.M, obj.A, obj.E = children
-        obj.dt, obj.theta, obj.nin = aux
+        obj.dt, obj.theta, obj.nin, obj.wdtype = aux
         return obj
 
 
@@ -117,10 +119,13 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                       if (precision != "fast" and not on_acc)
                       else _jnp.float32)
     if linsolver == "auto":
-        # the block-Schur solver dominates the dense inverse everywhere
-        # measured (2831 vs 318 steps/s at 8k dofs on v5e; setup 7 s vs
-        # 22+ s) and is the only one past ~20k dofs
-        linsolver = "schur"
+        # measured per-step costs at 8k dofs on v5e: dense-inverse apply
+        # 0.35 ms vs Jacobi-PCG(21) ~8 ms (the affine matvec costs
+        # 354 us, so iterating is 20x one MXU matvec) — dense wins below
+        # its ~20k-dof memory/VMEM ceiling, block-Schur is the path
+        # beyond it (no O(n^2) object; 2x scipy-splu at 30k dofs)
+        n_all = len(prob.invinds) + prob.np_cond
+        linsolver = "dense" if n_all <= 20000 else "schur"
     if linsolver == "krylov":
         from .krylov_saddle import build_krylov_ops
 
@@ -146,7 +151,7 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
         solver = SchurSaddleSolver(coeff, prob.Jc, prob.JTc,
                                    res_ops=res_ops, dtype=work_dtype)
         return TimeIntOps(solver=solver, M=Mop, A=Aop, E=Eop,
-                          dt=dt, theta=theta)
+                          dt=dt, theta=theta, wdtype=work_dtype)
 
     coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
     aff = getattr(prob, "affine_ops", lambda *_: None)(work_dtype)
@@ -166,14 +171,14 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                                      inv_dtype=inv_dtype, refine=refine,
                                      res_ops=(Kop, Jop))
         return TimeIntOps(solver=solver, M=Mop, A=Aop, E=Eop,
-                          dt=dt, theta=theta)
+                          dt=dt, theta=theta, wdtype=work_dtype)
     solver = InverseSaddleSolver(coeff, prob.Jc, prob.JTc,
                                  dtype=work_dtype,
                                  inv_dtype=inv_dtype, refine=refine)
     return TimeIntOps(solver=solver,
                       M=ell_from_scipy_fast(prob.Mc, dtype=work_dtype),
                       A=ell_from_scipy_fast(prob.Ac, dtype=work_dtype),
-                      dt=dt, theta=theta)
+                      dt=dt, theta=theta, wdtype=work_dtype)
 
 
 def _control_blocks(prob, controls):
@@ -482,29 +487,37 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         # every rhs term is O(dt): f32 work arithmetic then yields
         # f64-grade trajectories with the f64 carry.
         ops_, cn_ = b["ops"], b["cn"]
+        w = ops_.wdtype
         nfc_o = c["nfc"]
         v_full = _embed(cn_, has_c, c["v"], c["cvals"])
-        nfc_c = f_vdp_b(b, v_full)
+        # per-step vector arithmetic stays in the work dtype: every term
+        # is O(dt), and f64-typed chains run emulated elementwise on TPU
+        nfc_c = f_vdp_b(b, v_full).astype(w)
         cvals_n, cmems, bfv_n, bfp_n, mbc_n = _eval_controls(
             controls, cn_, t, v_full, c["p"], c["cmems"], "abtwo")
         fv_n = f_tdp(t)
         dfv_n, drm_n = dynamic_rhs(t, vc=c["v"], memory=c["drm"],
                                    mode="abtwo")
-        rhs_d = (-dt * ops_.A.matvec(c["v"])
-                 - (mbc_n - c["mbc"])
-                 + 0.5 * dt * (3 * nfc_c - nfc_o)
-                 + 0.5 * dt * (c["fv"] + fv_n + bfv_n + c["bfv"]
-                               + dfv_n + c["dfv"]))
+        def _w(x):
+            return x.astype(w) if hasattr(x, "astype") else x
+
+        fsum = (_w(c["fv"]) + _w(fv_n) + _w(bfv_n) + _w(c["bfv"])
+                + _w(dfv_n) + _w(c["dfv"]))
+        rhs_d = (jnp.asarray(-dt, w) * ops_.A.matvec(c["v"]).astype(w)
+                 - jnp.asarray(mbc_n - c["mbc"], w)
+                 + jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
+                 + jnp.asarray(0.5 * dt, w) * fsum)
         if b["fbk"] is not None:
             # trapezoidal feedback: K' = K - dt/2 uv (in the SMW-wrapped
             # solver), E' = E + dt/2 uv, so the delta-rhs gains dt uv v_c
             fu, fvm = b["fbk"]
-            rhs_d = rhs_d + dt * (fu @ (fvm @ c["v"]))
+            rhs_d = rhs_d + jnp.asarray(dt, w) * (
+                fu @ (fvm @ c["v"])).astype(w)
         # pressure-block rhs of the delta system: g_new - J v_c; by
         # div-free induction J v_c equals the PREVIOUS g, so the exact
-        # O(dt) difference is formed in f64 before any f32 cast
+        # O(dt) difference is formed in f64 before any work-dtype cast
         gp_n = g_tdp(t) + bfp_n
-        sol = ops_.solver.solve(rhs_d, gp_n - c["gp"])
+        sol = ops_.solver.solve(rhs_d, (gp_n - c["gp"]).astype(w))
         v_n = c["v"] + sol[:ops_.nin].astype(c["v"].dtype)
         p_n = (-sol[ops_.nin:] / dt).astype(c["p"].dtype)
         nrm = jnp.linalg.norm(v_n)
@@ -521,7 +534,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         # the carried "previous" convection entering the first AB2 step is
         # the one at v0 (reference hands nfc_c from _onestepheun into the
         # loop, time_int_utils.py:78+:112)
-        carry = dict(v=bs["v"], p=bs["p"], nfc=bs["nfc_c"], fv=bs["fv_n"],
+        carry = dict(v=bs["v"], p=bs["p"],
+                     nfc=bs["nfc_c"].astype(ops.wdtype), fv=bs["fv_n"],
                      dfv=bs["dfv_n"], drm=bs["drm"], cvals=bs["cvals"],
                      cmems=bs["cmems"], bfv=bs["bfv"], mbc=bs["mbc"],
                      gp=bs["gp"], flag=jnp.asarray(False))
@@ -596,29 +610,37 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
         # K2 delta = 1/3 M delta_old - 2/3 dt A v_c + w  with
         # delta_old = v_c - v_p; all rhs terms are O(dt) (see cnab)
         ops_, cn_ = b["ops"], b["cn"]
+        w = ops_.wdtype
         nfc_p = c["nfc_p"]
         v_full = _embed(cn_, has_c, c["v"], c["cvals"])
-        nfc_c = f_vdp_b(b, v_full)
+        nfc_c = f_vdp_b(b, v_full).astype(w)
         cvals_n, cmems, bfv_n, bfp_n, mbc_n = _eval_controls(
             controls, cn_, t, v_full, c["p"], c["cmems"], "abtwo")
         fv_n = f_tdp(t)
         dfv_n, drm_n = dynamic_rhs(t, vc=c["v"], memory=c["drm"],
                                    mode="abtwo")
-        rhs_d = (1.0 / 3.0 * ops_.M.matvec(c["dv"])
-                 - 2.0 / 3.0 * dt * ops_.A.matvec(c["v"])
-                 - (mbc_n - 4.0 / 3.0 * c["mbc"] + 1.0 / 3.0 * c["mbc_p"])
-                 + 2.0 / 3.0 * dt * bfv_n
-                 + 2.0 / 3.0 * dt * (2 * nfc_c - nfc_p)
-                 + 2.0 / 3.0 * dt * (fv_n + dfv_n))
+
+        def _w(x):
+            return x.astype(w) if hasattr(x, "astype") else x
+
+        rhs_d = (jnp.asarray(1.0 / 3.0, w) * ops_.M.matvec(c["dv"]).astype(w)
+                 - jnp.asarray(2.0 / 3.0 * dt, w)
+                 * ops_.A.matvec(c["v"]).astype(w)
+                 - jnp.asarray(mbc_n - 4.0 / 3.0 * c["mbc"]
+                               + 1.0 / 3.0 * c["mbc_p"], w)
+                 + jnp.asarray(2.0 / 3.0 * dt, w) * _w(bfv_n)
+                 + jnp.asarray(2.0 / 3.0 * dt, w) * (2.0 * nfc_c - nfc_p)
+                 + jnp.asarray(2.0 / 3.0 * dt, w) * (_w(fv_n) + _w(dfv_n)))
         if b["fbk"] is not None:
             # fully-implicit feedback: K2' = K2 - 2/3 dt uv (SMW-wrapped
             # solver); the delta-rhs gains 2/3 dt uv v_c
             fu, fvm = b["fbk"]
-            rhs_d = rhs_d + 2.0 / 3.0 * dt * (fu @ (fvm @ c["v"]))
+            rhs_d = rhs_d + jnp.asarray(2.0 / 3.0 * dt, w) * (
+                fu @ (fvm @ c["v"])).astype(w)
         gp_n = g_tdp(t) + bfp_n
-        sol = ops_.solver.solve(rhs_d, gp_n - c["gp"])
-        dv_n = sol[:ops_.nin].astype(c["v"].dtype)
-        v_n = c["v"] + dv_n
+        sol = ops_.solver.solve(rhs_d, (gp_n - c["gp"]).astype(w))
+        dv_n = sol[:ops_.nin].astype(w)
+        v_n = c["v"] + dv_n.astype(c["v"].dtype)
         p_n = (-sol[ops_.nin:] / dt).astype(c["p"].dtype)
         nrm = jnp.linalg.norm(v_n)
         bad = jnp.logical_or(nrm > check_ff_maxv, jnp.isnan(nrm))
@@ -635,8 +657,9 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
                     flag=flag)
 
     if resume_carry is None:
-        carry = dict(v=bs["v"], dv=bs["v"] - v0, p=bs["p"],
-                     nfc_p=bs["nfc_c"],
+        carry = dict(v=bs["v"], dv=(bs["v"] - v0).astype(ops.wdtype),
+                     p=bs["p"],
+                     nfc_p=bs["nfc_c"].astype(ops.wdtype),
                      fv=bs["fv_n"], dfv=bs["dfv_n"], drm=bs["drm"],
                      cvals=bs["cvals"], cmems=bs["cmems"], mbc=bs["mbc"],
                      mbc_p=mbc_p0, gp=bs["gp"], flag=jnp.asarray(False))
@@ -672,8 +695,10 @@ def semi_implicit_euler(trange=None, prob=None, inivel=None, rhs_tv=None,
         # increment form of (M + dt A) v_n = M v_c + dt rhs:
         # (M + dt A) delta = -dt A v_c + dt rhs  (O(dt) rhs, see cnab)
         ops_ = b["ops"]
-        rhs_d = dt * (rhs_tv(t, c["v"]) - ops_.A.matvec(c["v"]))
-        sol = ops_.solver.solve(rhs_d, fp0 - c["gp"])
+        w = ops_.wdtype
+        rhs_d = jnp.asarray(dt, w) * (rhs_tv(t, c["v"]).astype(w)
+                                      - ops_.A.matvec(c["v"]).astype(w))
+        sol = ops_.solver.solve(rhs_d, (fp0 - c["gp"]).astype(w))
         v_n = c["v"] + sol[:ops_.nin].astype(c["v"].dtype)
         return dict(v=v_n, p=(-sol[ops_.nin:] / dt).astype(c["p"].dtype),
                     gp=fp0)
