@@ -47,43 +47,6 @@ def build(level=1):
     return prob, dt
 
 
-_FULL_CACHE = {}
-
-
-def _full_layout(prob, dt, ops):
-    """Full-dof state layout: matvecs over the full velocity vector (no
-    per-step inner<->full index translation — measured ~0.4 ms/step at
-    8k dofs) + the dense inverse zero-padded onto the full dof set so
-    its zero bc rows/columns mask the bc-row garbage of the
-    unconstrained element matvecs."""
-    import jax.numpy as jnp
-
-    from dolfin_navier_scipy_tpu.ops.affine import AffineVectorOps
-
-    key = (id(prob), float(dt))
-    if key in _FULL_CACHE:
-        return _FULL_CACHE[key]
-    aff = AffineVectorOps.build(prob, jnp.float32, full_dofs=True)
-    nf = prob.nv_full
-    npp = prob.np_cond
-    ix = jnp.concatenate([jnp.asarray(prob.invinds),
-                          nf + jnp.arange(npp)])
-    Zp = jnp.zeros((nf + npp, nf + npp), jnp.float32)
-    Zp = Zp.at[ix[:, None], ix[None, :]].set(
-        ops.solver.Kinv.astype(jnp.float32))
-    # the full-dof A matvec already carries the bc-column term
-    # A[:, bc] @ u_bc, which the condensed fv had folded in as
-    # fvbc = -A[:, bc] @ u_bc — strip it to avoid double counting
-    fvbc = -np.asarray(prob.full["A"]
-                       @ prob.bc_full_vec()).ravel()[prob.invinds]
-    fvf = np.zeros(nf)
-    fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
-    out = dict(aff=aff, Zp=Zp, fv=jnp.asarray(fvf, jnp.float32),
-               nf=nf, npp=npp)
-    _FULL_CACHE[key] = out
-    return out
-
-
 def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
                          linsolver="auto", v0=None, ops=None):
     """One increment-form CNAB step per scan iteration, in the full-dof
@@ -120,7 +83,11 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
     gp0 = jnp.asarray(_sps.csr_matrix(prob.Jc) @ v0)
 
     if hasattr(ops.solver, "Kinv"):
-        fl = _full_layout(prob, dt, ops)
+        from dolfin_navier_scipy_tpu.solve.timeint import (
+            build_full_layout,
+        )
+
+        fl = build_full_layout(prob, dt, ops)
         nf, npp = fl["nf"], fl["npp"]
         bundle = dict(aff=fl["aff"], Zp=fl["Zp"], fv=fl["fv"], kern=kern,
                       fp=jnp.asarray(np.asarray(prob.fp).ravel()))

@@ -77,7 +77,7 @@ def solve_nse(
     vel_nwtn_stps=4, vel_nwtn_tol=1e-10, vel_pcrd_stps=2,
     paraviewoutput=False, vfileprfx="results/vel", prvoutpnts=None,
     krylov=None, krpslvprms=None,
-    linsolver="auto",
+    linsolver="auto", state_layout="auto",
     verbose=False,
     **kw,
 ):
@@ -229,6 +229,8 @@ def solve_nse(
         linsolver = "krylov"
     scheme = {"cnab": timeint.cnab, "sbdf2": timeint.sbdf2}[time_int_scheme]
 
+    ckpt_active = save_data or useolddata or clearprvdata
+
     def integrate(tpiece, resume_carry=None):
         return scheme(
             trange=tpiece, prob=prob, inivel=iniv, inip=inip,
@@ -237,6 +239,9 @@ def solve_nse(
             dynamic_rhs=dynamic_rhs, dynamic_rhs_memory=dynamic_rhs_memory,
             controls=controls, check_ff_maxv=check_ff_maxv,
             umat=umat, vmat=vmat, linsolver=linsolver,
+            # checkpoint carries are stored in the inner layout; keep
+            # every section on it so resumed sections match
+            state_layout="inner" if ckpt_active else state_layout,
             save_every=save_every, resume_carry=resume_carry,
             verbose=verbose, **kw)
 

@@ -181,6 +181,45 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                       dt=dt, theta=theta, wdtype=work_dtype)
 
 
+_FULL_LAYOUT_CACHE = {}
+
+
+def build_full_layout(prob, dt, ops):
+    """Full-dof state layout for the dense-solver CNAB scan.
+
+    Per-step inner<->full index translation (embed scatter + extract
+    gather) costs ~0.4 ms at 8k dofs on v5e — comparable to all operator
+    applications combined.  Instead: matvecs over the FULL velocity
+    vector (``AffineVectorOps.build(full_dofs=True)``; bc rows carry
+    element garbage) and the dense saddle inverse zero-padded onto the
+    full dof set — its zero bc rows/columns mask the garbage AND pin the
+    bc increments to zero.  The bc-column stiffness term ``A[:,bc] u_bc``
+    moves from the folded ``fv`` back into the matvec.
+    """
+    from ..ops.affine import AffineVectorOps
+
+    w = ops.wdtype
+    key = (id(prob), float(dt), float(ops.theta), str(w))
+    if key in _FULL_LAYOUT_CACHE:
+        return _FULL_LAYOUT_CACHE[key]
+    aff = AffineVectorOps.build(prob, w, full_dofs=True)
+    nf = prob.nv_full
+    npp = prob.np_cond
+    ix = jnp.concatenate([jnp.asarray(prob.invinds),
+                          nf + jnp.arange(npp)])
+    zdt = ops.solver.Kinv.dtype
+    Zp = jnp.zeros((nf + npp, nf + npp), zdt)
+    Zp = Zp.at[ix[:, None], ix[None, :]].set(ops.solver.Kinv)
+    fvbc = -np.asarray(prob.full["A"]
+                       @ prob.bc_full_vec()).ravel()[prob.invinds]
+    fvf = np.zeros(nf)
+    fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
+    out = dict(aff=aff, Zp=Zp, fv=jnp.asarray(fvf, w),
+               nf=nf, npp=npp, w=w)
+    _FULL_LAYOUT_CACHE[key] = out
+    return out
+
+
 def _control_blocks(prob, controls):
     """Dense column blocks (A, J, M)[:, control-dofs] and stencil layout.
 
@@ -438,7 +477,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
          check_ff_maxv=1e8, save_every=1,
          predictor="IMEX-Euler",
          inv_dtype=None, refine=None, ops=None, precision="accurate",
-         linsolver="auto",
+         linsolver="auto", state_layout="auto",
          resume_carry=None, umat=None, vmat=None,
          verbose=False, **kw):
     """Crank-Nicolson / Adams-Bashforth-2 (reference time_int_utils.py:23).
@@ -463,6 +502,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
     cn = _consts(prob, controls)
     bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn, fbk=fbk)
     has_c = bool(controls)
+    plain_rhs = (f_tdp is None and g_tdp is None and dynamic_rhs is None)
     f_vdp_b = _make_f_vdp(stokes_flow, nin)
     f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,
                                                dynamic_rhs)
@@ -479,6 +519,68 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                              umat=umat, vmat=vmat)
     else:
         bs = None
+
+    # full-dof state layout: the fast path for plain runs (no per-step
+    # inner<->full index translation; see build_full_layout)
+    use_full = (state_layout != "inner"
+                and hasattr(ops.solver, "Kinv")
+                # only when the ops were built on the affine element
+                # kernels of THIS problem (augmented/modified-operator
+                # problems take the generic inner path)
+                and getattr(ops.solver, "res_ops", None) is not None
+                and not has_c and plain_rhs
+                and not stokes_flow and umat is None
+                and resume_carry is None)
+    if use_full:
+        fl = build_full_layout(prob, dt, ops)
+        nf = fl["nf"]
+        kern_w = (_kern(prob, "fast") if fl["w"] == jnp.float32
+                  else _kern(prob, "accurate"))
+        fb = dict(aff=fl["aff"], Zp=fl["Zp"], fv=fl["fv"], kern=kern_w,
+                  fp=jnp.asarray(np.asarray(prob.fp).ravel()))
+        vf0 = np.asarray(prob.bc_full_vec()).copy()
+        vf0[prob.invinds] = np.asarray(bs["v"])
+        vf0 = jnp.asarray(vf0)
+        # the AB2 "previous convection" entering the first step is the
+        # one at the ORIGINAL v0, not at the bootstrapped state
+        # (time_int_utils.py:78+:112)
+        v00 = np.asarray(prob.bc_full_vec()).copy()
+        v00[prob.invinds] = np.asarray(v0)
+        nfc0 = (-kern_w.vector(jnp.asarray(v00))).astype(fl["w"])
+
+        def fstep(b, c, t):
+            w = fl["w"]
+            vf, nfc_o = c["v"], c["nfc"]
+            nfc_c = (-b["kern"].vector(vf)).astype(w)
+            av = b["aff"].a_matvec(vf).astype(w)
+            rhs = (jnp.asarray(-dt, w) * av
+                   + jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
+                   + jnp.asarray(dt, w) * b["fv"])
+            rall = jnp.concatenate(
+                [rhs, (b["fp"] - c["gp"]).astype(w)])
+            sol = b["Zp"] @ rall
+            v_n = vf + sol[:nf].astype(vf.dtype)
+            p_n = (-sol[nf:] / dt).astype(c["p"].dtype)
+            nrm = jnp.linalg.norm(v_n)
+            bad = jnp.logical_or(nrm > check_ff_maxv, jnp.isnan(nrm))
+            flag = jnp.logical_or(c["flag"], bad)
+            return dict(v=jnp.where(flag, vf, v_n),
+                        p=jnp.where(flag, c["p"], p_n),
+                        nfc=nfc_c, gp=b["fp"], flag=flag)
+
+        carry = dict(v=vf0, p=bs["p"], nfc=nfc0, gp=bs["gp"],
+                     flag=jnp.asarray(False))
+        carry, ys, tout = _run_scan(fstep, fb, carry, trange[2:],
+                                    save_every)
+        inv = prob.invinds
+        return dict(
+            v=carry["v"][jnp.asarray(inv)], p=carry["p"],
+            ffflag=bool(carry["flag"]),
+            times=tout,
+            vs=None if ys is None else ys[0][:, np.asarray(inv)],
+            ps=None if ys is None else ys[1],
+            bootstrap=bs, ops=ops, carry=carry,
+        )
 
     def step(b, c, t):
         # INCREMENT form: solve for delta = v_n - v_c.  With
@@ -559,7 +661,7 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
           controls: Optional[List[DirichletControl]] = None,
           check_ff_maxv=1e8, save_every=1,
           inv_dtype=None, refine=None, ops=None, precision="accurate",
-          linsolver="auto",
+          linsolver="auto", state_layout="inner",
           resume_carry=None, umat=None, vmat=None,
           verbose=False, **kw):
     """Semi-implicit BDF2 (reference ``sbdftwo``, time_int_utils.py:260):

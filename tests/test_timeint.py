@@ -161,3 +161,26 @@ def test_increment_form_is_divergence_free(cavity):
     out = cnab(trange=trange, prob=prob, inivel=vss, save_every=None)
     div = prob.Jc @ np.asarray(out["v"]) - np.asarray(prob.fp).ravel()
     assert np.abs(div).max() < 1e-11, np.abs(div).max()
+
+
+def test_full_layout_matches_inner(cavity):
+    """The full-dof state layout (the fast path: no per-step
+    inner<->full index translation, zero-padded inverse) reproduces the
+    inner-layout trajectory."""
+    prob, vss = cavity
+    trange = np.linspace(0, 0.2, 101)
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    dt = float(trange[1] - trange[0])
+    ops = _build_ops(prob, dt, theta=0.5, linsolver="dense")
+    o_full = cnab(trange=trange, prob=prob, inivel=vss, ops=ops,
+                  state_layout="full", save_every=20)
+    o_inner = cnab(trange=trange, prob=prob, inivel=vss, ops=ops,
+                   state_layout="inner", save_every=20)
+    assert not o_full["ffflag"]
+    rel = (np.linalg.norm(np.asarray(o_full["v"]) - np.asarray(o_inner["v"]))
+           / np.linalg.norm(np.asarray(o_inner["v"])))
+    # the full layout runs its kernels in f32 even on CPU (the device
+    # configuration); increments are O(dt) so the gap stays tiny
+    assert rel < 1e-6, rel
+    assert o_full["vs"].shape == o_inner["vs"].shape
