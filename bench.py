@@ -11,12 +11,15 @@ all steps + per-step convection re-assembly (host, vectorized numpy —
 *faster* than the reference's FEniCS round trip, so the reported
 speedup is conservative).
 
-The device loop is the INCREMENT-form CNAB step (solve/timeint.py): all
-per-step arithmetic is f32 on the MXU; because the saddle solve targets
-the O(dt)-sized increment, the f64-carried trajectory matches the f64
-splu trajectory to ~1e-9 relative — there is no separate slow "f64
-mode" anymore.  ``accurate`` (f64 carry) and ``fast`` (f32 carry) modes
-share the same kernels; the accuracy gap between them is reported.
+The device loop is the INCREMENT-form CNAB step (solve/timeint.py) in
+the full-dof state layout: all per-step arithmetic is f32 on the MXU;
+because the saddle solve targets the O(dt)-sized increment, the
+f64-carried trajectory matches the f64 splu trajectory to ~5e-8 over
+300 steps (measured) — there is no separate slow "f64 mode" anymore.
+``accurate`` (f64 carry) and ``fast`` (f32 carry) share the kernels.
+Measured on v5e (exclusive machine): 628 steps/s accurate = 11.0x the
+splu baseline at 8k dofs; level-2 (29.5k dofs, block-Schur solver)
+387 steps/s = 25x its baseline.
 """
 
 import json
