@@ -158,6 +158,26 @@ def _devinv_jit(rows, cols, vals, dinv, iters, n):
     return (Z * dinv[:, None]) * dinv[None, :]
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _devinv_dense_jit(Seq, dinv, iters):
+    Z = jnp.linalg.inv(Seq)
+    Z = _ns_polish(Seq, Z, iters)
+    return (Z * dinv[:, None]) * dinv[None, :]
+
+
+def _device_dense_inverse(S, ns_iters=2):
+    """f32 inverse of a dense (host) matrix built on the accelerator —
+    used for the Schur complement S = J F^{-1} J^T at large pressure
+    counts, where a single-core host O(np^3) inversion takes minutes
+    (lvl3: np=7054)."""
+    S = np.asarray(S)
+    d = np.sqrt(np.abs(S).max(axis=1))
+    d[d == 0] = 1.0
+    Seq = jnp.asarray((S / d[:, None]) / d[None, :], jnp.float32)
+    Z = _devinv_dense_jit(Seq, jnp.asarray(1.0 / d, jnp.float32), ns_iters)
+    return jnp.where(jnp.abs(Z) < np.float32(1.2e-38), np.float32(0.0), Z)
+
+
 def _device_f32_inverse(K, ns_iters=2):
     """f32 saddle inverse built ON the accelerator: symmetric max-norm
     equilibration (host, sparse) -> device densify + f32 LU inverse ->
@@ -353,10 +373,10 @@ class SchurSaddleSolver:
 
     _leaf_names = ("X", "Sinv", "dinv", "Kop", "Jop", "F_ell", "J_ell",
                    "JT_ell")
-    _aux_names = ("nv", "np", "ncg", "dtype")
+    _aux_names = ("nv", "np", "ncg", "dtype", "refine")
 
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
-                 dtype=None, ncg=None, cg_tol=None,
+                 dtype=None, ncg=None, cg_tol=None, refine=None,
                  _leaves=None, _aux=None):
         if _leaves is not None:
             for n, v in zip(self._leaf_names, _leaves):
@@ -376,7 +396,12 @@ class SchurSaddleSolver:
         X = lu.solve(np.asarray(jT.todense()))           # (nv, np)
         S = np.asarray(J @ X)                            # (np, np), SPD
         self.X = jnp.asarray(X, dtype)
-        self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
+        if npp > 3000 and jax.default_backend() != "cpu":
+            # single-core host inv(np^3) takes minutes at lvl2+; the
+            # equilibrated f32 device inverse + Newton-Schulz takes <1 s
+            self.Sinv = _device_dense_inverse(S)
+        else:
+            self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
         dv = F.diagonal()
         self.dinv = jnp.asarray(1.0 / dv, dtype)
 
@@ -407,6 +432,17 @@ class SchurSaddleSolver:
                      M=sps.diags(1.0 / dv), callback=cb)
             ncg = it[0] + 3
         self.ncg = int(ncg)
+        if refine is None:
+            # refine=1 recovers work-precision solves from the ~1e-3
+            # device-f32 Schur inverse at large pressure counts (lvl2
+            # single-solve: 2.3e-7 measured), but currently costs ~28x
+            # per step in-scan on the axon runtime (unexplained; the
+            # constituent matvecs account for ~2x) — keep it opt-in
+            # until profiled.  Increment-form time stepping from smooth
+            # starts tolerates the unrefined solve (errors scale with
+            # the O(dt) increments).
+            refine = 0
+        self.refine = int(refine)
 
     def tree_flatten(self):
         return (tuple(getattr(self, n) for n in self._leaf_names),
@@ -456,13 +492,33 @@ class SchurSaddleSolver:
                                    (x, r, p, rz))
         return x
 
+    def _jtmv(self, q):
+        if self.Jop is not None:
+            return self.Jop.rmatvec(q)
+        return self.JT_ell.matvec(q)
+
+    def _base_solve(self, bv, bp):
+        y = self._fsolve(bv)
+        q = self.Sinv @ (self._jmv(y) - bp)
+        v = y - self.X @ q
+        return v, q
+
     def solve(self, rhsv, rhsp):
         """Raw stacked ``[v; q]`` like :class:`InverseSaddleSolver`."""
         bv = rhsv.reshape(-1).astype(self.dtype)
         bp = rhsp.reshape(-1).astype(self.dtype)
-        y = self._fsolve(bv)
-        q = self.Sinv @ (self._jmv(y) - bp)
-        v = y - self.X @ q
+        v, q = self._base_solve(bv, bp)
+        for _ in range(self.refine):
+            rv = bv - (self._fmv(v) + self._jtmv(q))
+            rp = bp - self._jmv(v)
+            # normalize the correction solve to O(1): the residual is
+            # ~1e-7 of the rhs and the PCG's internal products would
+            # sink into f32 denormals — a massive VPU slowdown on TPU
+            s = jnp.sqrt(jnp.mean(rv * rv) + jnp.mean(rp * rp)
+                         + jnp.asarray(1e-30, rv.dtype))
+            dv, dq = self._base_solve(rv / s, rp / s)
+            v = v + s * dv
+            q = q + s * dq
         return jnp.concatenate([v, q])
 
     @property
