@@ -69,3 +69,38 @@ def test_smw_krylov_matches_dense():
                          krylov="gmres",
                          krpslvprms=dict(tol=1e-13, maxiter=600))
     assert np.allclose(x_kry.ravel(), x_dense.ravel(), atol=1e-8)
+
+
+def test_schur_refine_recovers_accuracy():
+    """SchurSaddleSolver refine rounds (residual scaled to O(1) before
+    the correction solve) tighten the solve beyond the PCG tolerance."""
+    import numpy as np
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spsla
+
+    import jax.numpy as jnp
+
+    from dolfin_navier_scipy_tpu.models import drivencavity_problem
+    from dolfin_navier_scipy_tpu.solve.sadpnt import SchurSaddleSolver
+
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    dt = 1e-3
+    coeff = sps.csr_matrix(prob.Mc + 0.5 * dt * prob.Ac)
+    nin, npp = len(prob.invinds), prob.np_cond
+    K = sps.vstack([
+        sps.hstack([sps.csc_matrix(coeff), sps.csc_matrix(prob.JTc)]),
+        sps.hstack([sps.csc_matrix(prob.Jc), sps.csc_matrix((npp, npp))]),
+    ]).tocsc()
+    lu = spsla.splu(K)
+    rng = np.random.default_rng(1)
+    bv = rng.standard_normal(nin)
+    x_ref = lu.solve(np.concatenate([bv, np.zeros(npp)]))
+
+    # deliberately loose PCG so the refine round has work to do
+    s0 = SchurSaddleSolver(coeff, prob.Jc, prob.JTc, ncg=8, refine=0)
+    s1 = SchurSaddleSolver(coeff, prob.Jc, prob.JTc, ncg=8, refine=2)
+    e0 = np.linalg.norm(np.asarray(
+        s0.solve(jnp.asarray(bv), jnp.zeros(npp))) - x_ref)
+    e1 = np.linalg.norm(np.asarray(
+        s1.solve(jnp.asarray(bv), jnp.zeros(npp))) - x_ref)
+    assert e1 < 1e-3 * e0, (e0, e1)

@@ -184,3 +184,30 @@ def test_full_layout_matches_inner(cavity):
     # configuration); increments are O(dt) so the gap stays tiny
     assert rel < 1e-6, rel
     assert o_full["vs"].shape == o_inner["vs"].shape
+
+
+def test_full_layout_with_robin_penalty():
+    """Full-vs-inner layout equality on a Robin-penalized problem: the
+    penalty lives on INNER (control-arc) dofs, so the bc-column
+    bookkeeping of the full layout must be unaffected."""
+    from dolfin_navier_scipy_tpu.control import apply_robin_penalty
+    from dolfin_navier_scipy_tpu.models import cylinderwake_problem
+    from dolfin_navier_scipy_tpu.solve import solve_steadystate_nse
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2,
+                                bccontrol=True)
+    apply_robin_penalty(prob, palpha=1e-3)
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-11)
+    v0 = np.asarray(vss).ravel()[prob.invinds]
+    trange = np.linspace(0, 0.05, 51)
+    dt = float(trange[1] - trange[0])
+    ops = _build_ops(prob, dt, theta=0.5, linsolver="dense")
+    o_f = cnab(trange=trange, prob=prob, inivel=v0, ops=ops,
+               state_layout="full", save_every=None)
+    o_i = cnab(trange=trange, prob=prob, inivel=v0, ops=ops,
+               state_layout="inner", save_every=None)
+    assert not o_f["ffflag"]
+    rel = (np.linalg.norm(np.asarray(o_f["v"]) - np.asarray(o_i["v"]))
+           / np.linalg.norm(np.asarray(o_i["v"])))
+    assert rel < 1e-12, rel
