@@ -13,13 +13,13 @@ from dolfin_navier_scipy_tpu.solve import solve_steadystate_nse
 REFMESH = os.environ.get("DNS_TPU_REFMESH", "/root/reference/tests/mesh")
 
 
-def testit(meshlvl=1, nu=1e-3, charvel=0.2, scheme="TH"):
+def testit(meshlvl=1, nu=None, Re=40, charvel=1.0, scheme="TH"):
     meshfile = f"{REFMESH}/2D-double-rotcyl_lvl{meshlvl}.xml.gz"
     physregs = f"{REFMESH}/2D-double-rotcyl_lvl{meshlvl}_facet_region.xml.gz"
     geodata = f"{REFMESH}/2D-double-rotcyl_geo_cntrlbc.json"
 
     femp, stokesmatsc, rhsd = get_sysmats(
-        problem="gen_bccont", nu=nu, charvel=charvel, scheme=scheme,
+        problem="gen_bccont", nu=nu, Re=Re, charvel=charvel, scheme=scheme,
         mergerhs=True,
         meshparams=dict(strtomeshfile=meshfile, movingwallcntrl=False,
                         strtophysicalregions=physregs,
@@ -42,5 +42,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--meshlvl", type=int, default=1)
     ap.add_argument("--Re", type=float, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the host-sparse steady "
+                         "path pays per-op remote compiles on the TPU "
+                         "tunnel otherwise)")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    testit(meshlvl=args.meshlvl, Re=args.Re or 40)
