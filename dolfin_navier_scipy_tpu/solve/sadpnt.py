@@ -162,20 +162,35 @@ def _devinv_jit(rows, cols, vals, dinv, iters, n):
 def _devinv_dense_jit(Seq, dinv, iters):
     Z = jnp.linalg.inv(Seq)
     Z = _ns_polish(Seq, Z, iters)
-    return (Z * dinv[:, None]) * dinv[None, :]
+    # one MORE Newton-Schulz correction, kept as a SEPARATE low part
+    # instead of being rounded into Z: the pair (Z, C) is a double-f32
+    # representation of the inverse.  A single f32 inverse solves only
+    # to ~kappa(S)*1e-7 (representation floor — 6.6e-3 measured at the
+    # lvl3 Schur complement); applying hi+lo as two matvecs recovers
+    # the next-NS-iterate accuracy at ~zero per-solve cost.
+    hp = jax.lax.Precision.HIGHEST
+    E = (jnp.eye(Seq.shape[0], dtype=Seq.dtype)
+         - jnp.matmul(Seq, Z, precision=hp))
+    C = jnp.matmul(Z, E, precision=hp)
+    Zu = (Z * dinv[:, None]) * dinv[None, :]
+    Cu = (C * dinv[:, None]) * dinv[None, :]
+    return Zu, Cu
 
 
 def _device_dense_inverse(S, ns_iters=2):
-    """f32 inverse of a dense (host) matrix built on the accelerator —
-    used for the Schur complement S = J F^{-1} J^T at large pressure
-    counts, where a single-core host O(np^3) inversion takes minutes
-    (lvl3: np=7054)."""
+    """Double-f32 inverse pair ``(hi, lo)`` of a dense (host) matrix
+    built on the accelerator — used for the Schur complement
+    S = J F^{-1} J^T at large pressure counts, where a single-core host
+    O(np^3) inversion takes minutes (lvl3: np=7054)."""
     S = np.asarray(S)
     d = np.sqrt(np.abs(S).max(axis=1))
     d[d == 0] = 1.0
     Seq = jnp.asarray((S / d[:, None]) / d[None, :], jnp.float32)
-    Z = _devinv_dense_jit(Seq, jnp.asarray(1.0 / d, jnp.float32), ns_iters)
-    return jnp.where(jnp.abs(Z) < np.float32(1.2e-38), np.float32(0.0), Z)
+    Z, C = _devinv_dense_jit(Seq, jnp.asarray(1.0 / d, jnp.float32),
+                             ns_iters)
+    flush = np.float32(1.2e-38)
+    return (jnp.where(jnp.abs(Z) < flush, np.float32(0.0), Z),
+            jnp.where(jnp.abs(C) < flush, np.float32(0.0), C))
 
 
 def _device_f32_inverse(K, ns_iters=2):
@@ -371,8 +386,8 @@ class SchurSaddleSolver:
     not map onto a systolic array.
     """
 
-    _leaf_names = ("X", "Sinv", "dinv", "Kop", "Jop", "F_ell", "J_ell",
-                   "JT_ell")
+    _leaf_names = ("X", "Sinv", "dinv", "Kop", "Jop", "F_ell",
+                   "J_ell", "JT_ell")
     _aux_names = ("nv", "np", "ncg", "dtype", "refine")
 
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
@@ -398,8 +413,20 @@ class SchurSaddleSolver:
         self.X = jnp.asarray(X, dtype)
         if npp > 3000 and jax.default_backend() != "cpu":
             # single-core host inv(np^3) takes minutes at lvl2+; the
-            # equilibrated f32 device inverse + Newton-Schulz takes <1 s
-            self.Sinv = _device_dense_inverse(S)
+            # equilibrated f32 device inverse + Newton-Schulz takes <1 s.
+            # The hi/lo double-f32 pair is STACKED into one (2np, np)
+            # operator: a single f32 inverse only solves to
+            # kappa(S)*1e-7 (6.6e-3 measured at lvl3), and applying the
+            # parts as two separate matvecs trips a ~15x axon scan
+            # scheduling cliff.
+            hi, lo = _device_dense_inverse(S)
+            self.Sinv = jnp.concatenate([hi, lo], axis=0)
+        elif dtype == jnp.float32:
+            Sinv64 = np.linalg.inv(S)
+            hi = np.asarray(Sinv64, np.float32)
+            lo = np.asarray(Sinv64 - np.asarray(hi, np.float64),
+                            np.float32)
+            self.Sinv = jnp.asarray(np.concatenate([hi, lo], axis=0))
         else:
             self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
         dv = F.diagonal()
@@ -497,9 +524,18 @@ class SchurSaddleSolver:
             return self.Jop.rmatvec(q)
         return self.JT_ell.matvec(q)
 
+    def _sapply(self, g):
+        # the double-f32 hi/lo pair rides ONE stacked matmul (adding a
+        # second separate matvec to the scan body trips a ~15x axon
+        # scheduling cliff, like a second PCG loop does)
+        q2 = self.Sinv @ g
+        if self.Sinv.shape[0] == 2 * self.np:
+            return q2[: self.np] + q2[self.np:]
+        return q2
+
     def _base_solve(self, bv, bp):
         y = self._fsolve(bv)
-        q = self.Sinv @ (self._jmv(y) - bp)
+        q = self._sapply(self._jmv(y) - bp)
         v = y - self.X @ q
         return v, q
 
@@ -535,7 +571,7 @@ class SchurSaddleSolver:
         bv = rhsv.reshape(-1).astype(self.dtype)
         bp = rhsp.reshape(-1).astype(self.dtype)
         y = self._fsolve(bv, x0=y0, niter=self.ncg_warm)
-        q = self.Sinv @ (self._jmv(y) - bp)
+        q = self._sapply(self._jmv(y) - bp)
         v = y - self.X @ q
         return jnp.concatenate([v, q]), y
 
