@@ -98,11 +98,18 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
         vf0[prob.invinds] = v0
         state0 = jnp.asarray(vf0, cdtype)
 
+        nu = float(prob.nu)
+        sym = bool(getattr(prob, "gradvsymmtrc", True))
+
         def step(b, carry, _):
             vf, nfc_o, gp = carry
-            nfc_c = (-b["kern"].vector(vf)).astype(jnp.float32)
-            av = b["aff"].a_matvec(vf).astype(jnp.float32)
-            rhs = (jnp.float32(-dt) * av
+            # fused element pipeline: convection + stiffness share the
+            # gather and one stacked scatter
+            cv, av = b["kern"].vector_and_amatvec(
+                vf, nu, sym=sym,
+                fac_elem=b["aff"].fac_elem, fac_vdofs=b["aff"].fac_vdofs)
+            nfc_c = (-cv).astype(jnp.float32)
+            rhs = (jnp.float32(-dt) * av.astype(jnp.float32)
                    + jnp.float32(0.5 * dt) * (3.0 * nfc_c - nfc_o)
                    + jnp.float32(dt) * b["fv"])
             rall = jnp.concatenate([rhs,

@@ -97,8 +97,8 @@ class ConvectionKernel:
 
     def __init__(self, ctx: AssemblyContext = None, dtype=None, _leaves=None):
         if _leaves is not None:
-            (self.W1blk, self.W2blk, self.W3blk, self.Nq, self.dNq,
-             self.JinvT, self.wdet, self.nodes, self.vd,
+            (self.W1blk, self.W2blk, self.W2Tblk, self.W3blk, self.Nq,
+             self.dNq, self.JinvT, self.wdet, self.nodes, self.vd,
              self.vdofs_flat) = _leaves
             return
         space = ctx.space
@@ -146,6 +146,7 @@ class ConvectionKernel:
 
         self.W1blk = kronblk(W1)
         self.W2blk = kronblk(W2)
+        self.W2Tblk = kronblk(W2.T)
         self.W3blk = kronblk(W3)
         self.Nq = jnp.asarray(ctx.N2, dtype)                 # (Q,nvpc)
         self.dNq = jnp.asarray(ctx.dN2, dtype)               # (Q,nvpc,2)
@@ -158,8 +159,8 @@ class ConvectionKernel:
         self.vdofs_flat = self.vd.reshape(-1)
 
     def tree_flatten(self):
-        return ((self.W1blk, self.W2blk, self.W3blk, self.Nq, self.dNq,
-                 self.JinvT, self.wdet, self.nodes, self.vd,
+        return ((self.W1blk, self.W2blk, self.W2Tblk, self.W3blk, self.Nq,
+                 self.dNq, self.JinvT, self.wdet, self.nodes, self.vd,
                  self.vdofs_flat),
                 (self.nv_full, self.Q, self.nvpc, self.blk, self.nc,
                  self.nc_real, self.dim))
@@ -207,6 +208,49 @@ class ConvectionKernel:
             num_segments=self.nv_full + 1
         )
         return out[: self.nv_full].astype(u1_full.dtype)
+
+    def vector_and_amatvec(self, u_full, nu, sym=True,
+                           fac_elem=None, fac_vdofs=None):
+        """Fused ``(N(u)u, A u)`` over the FULL dof vector in ONE element
+        pipeline: the convection quadrature already interpolates the
+        gradients the stiffness needs, so both share the gather and the
+        (stacked) scatter — one segment_sum, per the axon scheduling
+        lesson that a second separate scatter costs far more than its
+        flops.  ``fac_elem/fac_vdofs``: optional facet-correction blocks
+        (outflow/Robin terms folded into A, full-dof ids).
+
+        Returns ``(conv (nv_full,), av (nv_full,))``.
+        """
+        dt = self.wdet.dtype
+        _, uq, guq = self._fields_at_quad(u_full)
+        # convection load
+        conv = jnp.einsum("eqd,eqcd->eqc", uq, guq)
+        wconv = (self.wdet[:, :, None]
+                 * conv).reshape(self.nc, self.dim * self.Q)
+        fe_c = self._bmm(wconv, self.W3blk, self.dim * self.nvpc)
+        # stiffness load: F = nu (grad u (+ grad u^T)), pulled back
+        F = guq + jnp.swapaxes(guq, 2, 3) if sym else guq
+        G = jnp.einsum("edk,eqcd->eqkc", self.JinvT, F)
+        G = (jnp.asarray(nu, dt) * self.wdet[:, :, None, None]
+             * G).reshape(self.nc, self.dim * self.dim * self.Q)
+        fe_a = self._bmm(G, self.W2Tblk, self.dim * self.nvpc)
+
+        off = self.nv_full + 1
+        vals = [fe_c.reshape(-1), fe_a.reshape(-1)]
+        ids = [self.vdofs_flat,
+               jnp.minimum(self.vdofs_flat, self.nv_full) + off]
+        if fac_elem is not None and fac_elem.shape[0]:
+            xfe = jnp.concatenate(
+                [u_full.astype(dt), jnp.zeros((1,), dt)])[fac_vdofs]
+            ffe = jnp.einsum("fab,fb->fa", fac_elem.astype(dt), xfe)
+            vals.append(ffe.reshape(-1))
+            ids.append(jnp.minimum(fac_vdofs.reshape(-1), self.nv_full)
+                       + off)
+        out = jax.ops.segment_sum(
+            jnp.concatenate(vals), jnp.concatenate(ids),
+            num_segments=2 * off)
+        return (out[: self.nv_full].astype(u_full.dtype),
+                out[off: off + self.nv_full].astype(u_full.dtype))
 
     def element_matrices(self, u0_full, picard_only=False,
                          unpadded_nc=None):

@@ -33,7 +33,7 @@ from ..ops.convection import ConvectionKernel
 # element weight tables, replicated)
 _AFF_SHARDED = {"JinvT", "wdet", "vdofs", "pdofs", "detJ",
                 "fac_elem", "fac_vdofs"}
-_CONV_NAMES = ("W1blk", "W2blk", "W3blk", "Nq", "dNq",
+_CONV_NAMES = ("W1blk", "W2blk", "W2Tblk", "W3blk", "Nq", "dNq",
                "JinvT", "wdet", "nodes", "vd", "vdofs_flat")
 _CONV_AUX = ("nv_full", "Q", "nvpc", "blk", "nc", "nc_real", "dim")
 _CONV_SHARDED = {"JinvT", "wdet", "nodes", "vd", "vdofs_flat"}

@@ -215,7 +215,8 @@ def build_full_layout(prob, dt, ops):
     fvf = np.zeros(nf)
     fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
     out = dict(aff=aff, Zp=Zp, fv=jnp.asarray(fvf, w),
-               nf=nf, npp=npp, w=w)
+               nf=nf, npp=npp, w=w, nu=float(prob.nu),
+               sym=bool(getattr(prob, "gradvsymmtrc", True)))
     _FULL_LAYOUT_CACHE[key] = out
     return out
 
@@ -551,9 +552,13 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         def fstep(b, c, t):
             w = fl["w"]
             vf, nfc_o = c["v"], c["nfc"]
-            nfc_c = (-b["kern"].vector(vf)).astype(w)
-            av = b["aff"].a_matvec(vf).astype(w)
-            rhs = (jnp.asarray(-dt, w) * av
+            # fused element pipeline: convection + stiffness share the
+            # gather and one stacked scatter
+            cv, av = b["kern"].vector_and_amatvec(
+                vf, fl["nu"], sym=fl["sym"],
+                fac_elem=b["aff"].fac_elem, fac_vdofs=b["aff"].fac_vdofs)
+            nfc_c = (-cv).astype(w)
+            rhs = (jnp.asarray(-dt, w) * av.astype(w)
                    + jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
                    + jnp.asarray(dt, w) * b["fv"])
             rall = jnp.concatenate(
