@@ -98,3 +98,34 @@ def test_affine_ops_with_robin():
     x = rng.normal(size=len(prob.invinds))
     assert np.allclose(np.asarray(aff.a_matvec(x)), prob.Ac @ x,
                        rtol=1e-10, atol=1e-8)
+
+
+def test_fused_vector_and_amatvec():
+    """The fused convection+stiffness pipeline (one gather, one stacked
+    scatter) equals the separate device ops and the host oracles,
+    including the outflow facet corrections of A."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from dolfin_navier_scipy_tpu.models import cylinderwake_problem
+    from dolfin_navier_scipy_tpu.ops.affine import AffineVectorOps
+    from dolfin_navier_scipy_tpu.ops.convection import (
+        ConvectionKernel, convection_vector_host)
+
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2)
+    kern = ConvectionKernel(prob.ctx)
+    aff = AffineVectorOps.build(prob, jnp.float64, full_dofs=True)
+    rng = np.random.default_rng(3)
+    vf = jnp.asarray(rng.standard_normal(prob.nv_full))
+    cv, av = kern.vector_and_amatvec(
+        vf, prob.nu, sym=True,
+        fac_elem=aff.fac_elem, fac_vdofs=aff.fac_vdofs)
+    assert np.allclose(np.asarray(cv),
+                       convection_vector_host(prob.ctx, np.asarray(vf))
+                       .ravel(), atol=1e-12)
+    assert np.allclose(np.asarray(av), np.asarray(aff.a_matvec(vf)),
+                       atol=1e-12)
+    # and against the assembled sparse full A (bc columns included)
+    av_sp = prob.full["A"] @ np.asarray(vf)
+    assert np.allclose(np.asarray(av), av_sp, atol=1e-10)
