@@ -3,6 +3,8 @@
 from .sadpnt import (  # noqa: F401
     InverseSaddleSolver,
     SaddleSolver,
+    SchurSaddleSolver,
+    SMWSolver,
     solve_sadpnt,
     solve_sadpnt_host,
 )

@@ -83,6 +83,23 @@ def solve_nse(
 ):
     """Solve the time-dependent incompressible NSE.
 
+    Key kwargs beyond the reference's (stokes_navier_utils.py:548-741):
+
+    * ``closed_loop`` + ``dynamic_feedback``/``dyn_fb_dict``/
+      ``dyn_fb_disc`` ('AB2' | 'trapezoidal' | 'linear_implicit') or
+      ``static_feedback``/``feedbackthroughdict`` — LTI observer or
+      low-rank state feedback (reference :1224-1263, :1367-1384);
+      ``umat``/``vmat`` for direct static feedback.
+    * ``save_data``/``useolddata``/``clearprvdata``/``checkpoint_every``
+      — ``get_datastr``-keyed scan-carry checkpoints with EXACT resume.
+    * ``linsolver`` ('auto' | 'dense' | 'schur' | 'krylov') and
+      ``krylov``/``krpslvprms`` (reference kwargs) — per-step saddle
+      solver choice.
+    * ``state_layout`` ('auto' | 'full' | 'inner') — the full-dof fast
+      layout for plain runs (see timeint.build_full_layout).
+    * ``precision`` ('accurate' | 'fast') — f64 vs f32 trajectory carry;
+      both run f32 device kernels via the increment formulation.
+
     Returns a dict with final ``(v, p)`` (inner dofs / physical pressure),
     the blow-up flag, and the decimated trajectory.
     """
