@@ -9,15 +9,26 @@ with optional low-rank update ``A -> A - umat @ vmat`` applied via
 Sherman-Morrison-Woodbury (matching ``lau.solve_sadpnt_smw``; the
 feedback hooks in stokes_navier_utils.py:1505-1512 rely on this).
 
-Backends
---------
-* ``dense``  — on-device dense LU (``jax.scipy.linalg.lu_factor``); for the
-  reference's benchmark sizes (NV+NP ~ 3k-10k dofs) one factorization is
-  cheap and the per-step triangular solves ride the MXU.  The factorization
-  is reusable across time steps — the property that makes the reference's
-  CNAB loop fast (time_int_utils.py:89-91, one ``spsla.factorized`` reused).
-* ``host``  — scipy SuperLU twin, used as the correctness oracle and as the
-  performance baseline in ``bench.py``.
+Backends (all reusable across time steps — the property that makes the
+reference's CNAB loop fast, time_int_utils.py:89-91):
+
+* :class:`InverseSaddleSolver` — explicit dense inverse applied on the
+  MXU; built ON the accelerator (equilibrated f32 LU + Newton-Schulz at
+  explicit f32 matmul precision) since the host here is single-core;
+  optional residual refinement on the sparse/element operators.  Best
+  below ~20k dofs.
+* :class:`SchurSaddleSolver` — block-Schur: one host ``splu`` of
+  ``F = M + theta dt A`` seeds exact dense Schur factors
+  ``X = F^{-1} J^T`` and a double-f32 ``S^{-1}`` pair (stacked into one
+  matmul); per solve a fixed-count Jacobi-PCG + two MXU matvecs.  No
+  O(n^2) object — the path past the dense ceiling (demonstrated to 61k
+  dofs).  :meth:`SchurSaddleSolver.solve_warm` warm-starts the PCG.
+* :class:`SMWSolver` — Sherman-Morrison-Woodbury wrap of any base
+  solver for static low-rank feedback updates.
+* :class:`SaddleSolver` — on-device LU (f32 factor + f64 refinement on
+  TPU); small systems and one-shot solves.
+* ``host`` — scipy SuperLU twin (:func:`host_saddle_factorized`), the
+  correctness oracle and the ``bench.py`` baseline.
 
 Sign convention: the raw saddle solution ``q`` relates to the physical
 pressure as ``p = -q`` (the reference flips it too:

@@ -3,10 +3,17 @@
 Re-designs the reference's ``time_int_utils`` (cnab :23-145, sbdftwo
 :260-355, _onestepheun :366-477, semi_implicit_euler :566-635) for TPU:
 
+* the steps are solved in INCREMENT form: ``v_n = v_c + delta`` with a
+  saddle solve for the O(dt)-sized increment, so f32 device kernels
+  deliver f64-grade trajectories against an f64 carry (TPUs have no
+  fast f64 — this replaces the reference's f64 splu),
 * the coefficient matrix ``[[M + theta dt A, J^T],[J, 0]]`` is factorized
   ONCE (the property that makes the reference's CNAB loop fast,
-  time_int_utils.py:89-91) as an :class:`InverseSaddleSolver` — per step
-  the solve is a single MXU matmul + f64 sparse-residual refinement,
+  time_int_utils.py:89-91) as an :class:`InverseSaddleSolver` (dense
+  MXU inverse, <20k dofs) or :class:`SchurSaddleSolver` (block-Schur,
+  beyond),
+* plain runs take the full-dof state layout (:func:`build_full_layout`)
+  — no per-step inner<->full index translation,
 * the convection vector is re-assembled on device each step by the
   :class:`ConvectionKernel` (the reference crosses into FEniCS assembly
   every step — the dominant cost, SURVEY.md 3.3),
