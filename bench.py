@@ -52,7 +52,8 @@ def build(level=1):
 
 
 def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
-                         linsolver="auto", v0=None, ops=None):
+                         linsolver="auto", layout="inner", v0=None,
+                         ops=None):
     """One increment-form CNAB step per scan iteration, in the full-dof
     state layout (dense path) or the inner layout (Schur path).
 
@@ -74,9 +75,9 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
     precision = "fast" if mode == "fast" else "accurate"
     if ops is None:
         ops = _build_ops(prob, dt, theta=0.5, precision=precision,
-                         linsolver=linsolver)
+                         linsolver=linsolver, layout=layout)
     kern = _kern(prob, "fast")          # f32 convection kernel
-    nin = ops.nin
+    nin = len(prob.invinds)
     cdtype = jnp.float32 if mode == "fast" else jnp.float64
     wd = ops.wdtype
     from functools import partial
@@ -86,14 +87,25 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
     v0 = (np.zeros(nin) if v0 is None else np.asarray(v0, np.float64))
     gp0 = jnp.asarray(_sps.csr_matrix(prob.Jc) @ v0)
 
-    if hasattr(ops.solver, "Kinv"):
+    schur_full = hasattr(ops, "full_schur")
+    if hasattr(ops.solver, "Kinv") or schur_full:
         from dolfin_navier_scipy_tpu.solve.timeint import (
             build_full_layout,
         )
 
-        fl = build_full_layout(prob, dt, ops)
+        if schur_full:
+            fvbc = -np.asarray(prob.full["A"]
+                               @ prob.bc_full_vec()).ravel()[prob.invinds]
+            fvf = np.zeros(prob.nv_full)
+            fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
+            fl = dict(aff=ops.full_schur, Zp=None,
+                      fv=jnp.asarray(fvf, jnp.float32),
+                      nf=prob.nv_full, npp=prob.np_cond)
+        else:
+            fl = build_full_layout(prob, dt, ops)
         nf, npp = fl["nf"], fl["npp"]
-        bundle = dict(aff=fl["aff"], Zp=fl["Zp"], fv=fl["fv"], kern=kern,
+        bundle = dict(aff=fl["aff"], Zp=fl["Zp"], slv=ops.solver,
+                      fv=fl["fv"], kern=kern,
                       fp=jnp.asarray(np.asarray(prob.fp).ravel()))
         vf0 = prob.bc_full_vec()
         vf0[prob.invinds] = v0
@@ -113,9 +125,11 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
             rhs = (jnp.float32(-dt) * av.astype(jnp.float32)
                    + jnp.float32(0.5 * dt) * (3.0 * nfc_c - nfc_o)
                    + jnp.float32(dt) * b["fv"])
-            rall = jnp.concatenate([rhs,
-                                    (b["fp"] - gp).astype(jnp.float32)])
-            sol = b["Zp"] @ rall
+            rp = (b["fp"] - gp).astype(jnp.float32)
+            if schur_full:
+                sol = b["slv"].solve(rhs, rp)
+            else:
+                sol = b["Zp"] @ jnp.concatenate([rhs, rp])
             return (vf + sol[:nf].astype(vf.dtype), nfc_c, b["fp"]), None
 
         @partial(jax.jit, static_argnums=3)
@@ -232,7 +246,8 @@ def level2_steps_per_sec():
         "bench._arm_cache();"
         "prob, dt = bench.build(level=2);"
         "sps_, v, _ = bench.device_steps_per_sec("
-        "    prob, dt, nsteps=300, mode='accurate', linsolver='schur');"
+        "    prob, dt, nsteps=300, mode='accurate', linsolver='schur',"
+        "    layout='full');"
         "base = bench.baseline_loop(prob, dt, nsteps=20);"
         "print(json.dumps({'l2': round(sps_, 2),"
         "                  'l2_base': round(base, 2),"

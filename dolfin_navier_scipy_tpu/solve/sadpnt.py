@@ -403,7 +403,14 @@ class SchurSaddleSolver:
 
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
+                 full_map=None,
                  _leaves=None, _aux=None):
+        """``full_map=(invinds, nv_full)`` builds the solver over the
+        FULL velocity dof set (the fast state layout): X rows and the
+        Jacobi diagonal are zero-padded onto the bc dofs — the zero
+        ``dinv`` entries mask the bc-row garbage of unconstrained
+        element matvecs inside the PCG and pin the bc increments to
+        zero.  ``res_ops`` must then be full-dof views."""
         if _leaves is not None:
             for n, v in zip(self._leaf_names, _leaves):
                 setattr(self, n, v)
@@ -421,6 +428,12 @@ class SchurSaddleSolver:
         lu = spsla.splu(F)
         X = lu.solve(np.asarray(jT.todense()))           # (nv, np)
         S = np.asarray(J @ X)                            # (np, np), SPD
+        if full_map is not None:
+            invinds, nv_full = full_map
+            Xf = np.zeros((nv_full, npp))
+            Xf[np.asarray(invinds)] = X
+            X = Xf
+            self.nv = nv_full
         self.X = jnp.asarray(X, dtype)
         if npp > 3000 and jax.default_backend() != "cpu":
             # single-core host inv(np^3) takes minutes at lvl2+; the
@@ -441,7 +454,14 @@ class SchurSaddleSolver:
         else:
             self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
         dv = F.diagonal()
-        self.dinv = jnp.asarray(1.0 / dv, dtype)
+        if full_map is not None:
+            dinvf = np.zeros(self.nv)
+            dinvf[np.asarray(full_map[0])] = 1.0 / dv
+            self.dinv = jnp.asarray(dinvf, dtype)
+            if res_ops is None:
+                raise ValueError("full_map requires full-dof res_ops")
+        else:
+            self.dinv = jnp.asarray(1.0 / dv, dtype)
 
         if res_ops is not None:
             self.Kop, self.Jop = res_ops

@@ -97,7 +97,8 @@ class TimeIntOps:
 
 
 def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
-               precision="accurate", linsolver="auto", work_dtype=None):
+               precision="accurate", linsolver="auto", work_dtype=None,
+               layout="inner"):
     """Operator/solver bundle for the INCREMENT-form integrators.
 
     The scan integrators advance ``v_n = v_c + delta`` with a saddle
@@ -144,6 +145,25 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
         from .sadpnt import SchurSaddleSolver
 
         coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
+        if layout == "full":
+            # full-dof fast layout: the solver works on the full
+            # velocity dof set; its zero-padded Jacobi diagonal masks
+            # the bc rows (see SchurSaddleSolver full_map)
+            from ..ops.affine import AffineVectorOps
+
+            afful = AffineVectorOps.build(prob, work_dtype,
+                                          full_dofs=True)
+            solver = SchurSaddleSolver(
+                coeff, prob.Jc, prob.JTc,
+                res_ops=(afful.view("ma", cm=1.0, ca=theta * dt),
+                         afful.view("j")),
+                dtype=work_dtype,
+                full_map=(prob.invinds, prob.nv_full))
+            ops = TimeIntOps(solver=solver, M=afful.view("m"),
+                             A=afful.view("a"), dt=dt, theta=theta,
+                             wdtype=work_dtype)
+            ops.full_schur = afful
+            return ops
         aff = getattr(prob, "affine_ops", lambda *_: None)(work_dtype)
         if aff is not None:
             res_ops = (aff.view("ma", cm=1.0, ca=theta * dt),
@@ -188,9 +208,6 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                       dt=dt, theta=theta, wdtype=work_dtype)
 
 
-_FULL_LAYOUT_CACHE = {}
-
-
 def build_full_layout(prob, dt, ops):
     """Full-dof state layout for the dense-solver CNAB scan.
 
@@ -206,9 +223,15 @@ def build_full_layout(prob, dt, ops):
     from ..ops.affine import AffineVectorOps
 
     w = ops.wdtype
-    key = (id(prob), float(dt), float(ops.theta), str(w))
-    if key in _FULL_LAYOUT_CACHE:
-        return _FULL_LAYOUT_CACHE[key]
+    # cache ON the problem object (an id(prob)-keyed module dict broke
+    # when CPython reused ids of collected problems)
+    cache = getattr(prob, "_full_layouts", None)
+    if cache is None:
+        cache = {}
+        prob._full_layouts = cache
+    key = (float(dt), float(ops.theta), str(w))
+    if key in cache:
+        return cache[key]
     aff = AffineVectorOps.build(prob, w, full_dofs=True)
     nf = prob.nv_full
     npp = prob.np_cond
@@ -224,7 +247,7 @@ def build_full_layout(prob, dt, ops):
     out = dict(aff=aff, Zp=Zp, fv=jnp.asarray(fvf, w),
                nf=nf, npp=npp, w=w, nu=float(prob.nu),
                sym=bool(getattr(prob, "gradvsymmtrc", True)))
-    _FULL_LAYOUT_CACHE[key] = out
+    cache[key] = out
     return out
 
 
@@ -501,16 +524,25 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
     """
     trange = np.asarray(trange)
     dt = float(trange[1] - trange[0])
+    plain_rhs = (f_tdp is None and g_tdp is None and dynamic_rhs is None)
+    want_full = (state_layout != "inner" and not controls and plain_rhs
+                 and not stokes_flow and umat is None
+                 and resume_carry is None and hasattr(prob, "ctx"))
     if ops is None:
+        n_all = len(prob.invinds) + prob.np_cond
+        lin_res = (linsolver if linsolver != "auto"
+                   else ("dense" if n_all <= 20000 else "schur"))
         ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype,
                          refine=refine, precision=precision,
-                         linsolver=linsolver)
+                         linsolver=lin_res,
+                         layout=("full" if (want_full
+                                            and lin_res == "schur")
+                                 else "inner"))
     ops, fbk = _wrap_feedback(ops, umat, vmat, c=0.5 * dt)
     nin = len(prob.invinds)
     cn = _consts(prob, controls)
     bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn, fbk=fbk)
     has_c = bool(controls)
-    plain_rhs = (f_tdp is None and g_tdp is None and dynamic_rhs is None)
     f_vdp_b = _make_f_vdp(stokes_flow, nin)
     f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,
                                                dynamic_rhs)
@@ -529,22 +561,35 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         bs = None
 
     # full-dof state layout: the fast path for plain runs (no per-step
-    # inner<->full index translation; see build_full_layout)
-    use_full = (state_layout != "inner"
-                and hasattr(ops.solver, "Kinv")
-                # only when the ops were built on the affine element
-                # kernels of THIS problem (augmented/modified-operator
-                # problems take the generic inner path)
-                and getattr(ops.solver, "res_ops", None) is not None
-                and not has_c and plain_rhs
-                and not stokes_flow and umat is None
-                and resume_carry is None)
+    # inner<->full index translation; see build_full_layout).  Two
+    # flavors: dense (zero-padded inverse Zp) and Schur (full_map-built
+    # solver, _build_ops layout='full').
+    schur_full = hasattr(ops, "full_schur")
+    use_full = want_full and (schur_full or (
+        hasattr(ops.solver, "Kinv")
+        # only when the ops were built on the affine element
+        # kernels of THIS problem (augmented/modified-operator
+        # problems take the generic inner path)
+        and getattr(ops.solver, "res_ops", None) is not None))
     if use_full:
-        fl = build_full_layout(prob, dt, ops)
+        if schur_full:
+            afful = ops.full_schur
+            w = ops.wdtype
+            fvbc = -np.asarray(prob.full["A"]
+                               @ prob.bc_full_vec()).ravel()[prob.invinds]
+            fvf = np.zeros(prob.nv_full)
+            fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
+            fl = dict(aff=afful, Zp=None, fv=jnp.asarray(fvf, w),
+                      nf=prob.nv_full, npp=prob.np_cond, w=w,
+                      nu=float(prob.nu),
+                      sym=bool(getattr(prob, "gradvsymmtrc", True)))
+        else:
+            fl = build_full_layout(prob, dt, ops)
         nf = fl["nf"]
         kern_w = (_kern(prob, "fast") if fl["w"] == jnp.float32
                   else _kern(prob, "accurate"))
-        fb = dict(aff=fl["aff"], Zp=fl["Zp"], fv=fl["fv"], kern=kern_w,
+        fb = dict(aff=fl["aff"], Zp=fl["Zp"], slv=ops.solver,
+                  fv=fl["fv"], kern=kern_w,
                   fp=jnp.asarray(np.asarray(prob.fp).ravel()))
         vf0 = np.asarray(prob.bc_full_vec()).copy()
         vf0[prob.invinds] = np.asarray(bs["v"])
@@ -568,9 +613,11 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
             rhs = (jnp.asarray(-dt, w) * av.astype(w)
                    + jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
                    + jnp.asarray(dt, w) * b["fv"])
-            rall = jnp.concatenate(
-                [rhs, (b["fp"] - c["gp"]).astype(w)])
-            sol = b["Zp"] @ rall
+            rp = (b["fp"] - c["gp"]).astype(w)
+            if schur_full:
+                sol = b["slv"].solve(rhs, rp)
+            else:
+                sol = b["Zp"] @ jnp.concatenate([rhs, rp])
             v_n = vf + sol[:nf].astype(vf.dtype)
             p_n = (-sol[nf:] / dt).astype(c["p"].dtype)
             nrm = jnp.linalg.norm(v_n)

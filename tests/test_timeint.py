@@ -211,3 +211,25 @@ def test_full_layout_with_robin_penalty():
     rel = (np.linalg.norm(np.asarray(o_f["v"]) - np.asarray(o_i["v"]))
            / np.linalg.norm(np.asarray(o_i["v"])))
     assert rel < 1e-12, rel
+
+
+def test_schur_full_layout_matches_inner(cavity):
+    """The Schur solver in the full-dof layout (full_map: zero-padded
+    X/Jacobi masks the bc rows inside the PCG) matches the inner-layout
+    Schur trajectory."""
+    prob, vss = cavity
+    trange = np.linspace(0, 0.2, 101)
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    dt = float(trange[1] - trange[0])
+    ops_f = _build_ops(prob, dt, theta=0.5, linsolver="schur",
+                       layout="full")
+    ops_i = _build_ops(prob, dt, theta=0.5, linsolver="schur")
+    o_f = cnab(trange=trange, prob=prob, inivel=vss, ops=ops_f,
+               save_every=20)
+    o_i = cnab(trange=trange, prob=prob, inivel=vss, ops=ops_i,
+               state_layout="inner", save_every=20)
+    assert not o_f["ffflag"]
+    rel = (np.linalg.norm(np.asarray(o_f["v"]) - np.asarray(o_i["v"]))
+           / np.linalg.norm(np.asarray(o_i["v"])))
+    assert rel < 1e-10, rel
