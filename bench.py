@@ -17,10 +17,10 @@ because the saddle solve targets the O(dt)-sized increment, the
 f64-carried trajectory matches the f64 splu trajectory to ~5e-8 over
 300 steps (measured) — there is no separate slow "f64 mode" anymore.
 ``accurate`` (f64 carry) and ``fast`` (f32 carry) share the kernels.
-Measured on v5e (exclusive machine): 732 steps/s accurate = 12.6x the
-splu baseline at 8k dofs (fused convection+stiffness element pipeline);
-level-2 (29.5k dofs, block-Schur solver) 550-700 steps/s = 35-45x its
-baseline; level-3 (61k dofs) 364 steps/s = 62x.
+Measured on v5e (exclusive machine): ~750 steps/s accurate = ~12x the
+splu baseline at 8k dofs (fused convection+stiffness element pipeline,
+full-dof layout); level-2 (29.5k dofs, full-layout block-Schur solver)
+~690 steps/s = ~50x its baseline; level-3 (61k dofs) 364 steps/s = 62x.
 """
 
 import json
