@@ -20,7 +20,8 @@ f64-carried trajectory matches the f64 splu trajectory to ~5e-8 over
 Measured on v5e (exclusive machine): ~750 steps/s accurate = ~12x the
 splu baseline at 8k dofs (fused convection+stiffness element pipeline,
 full-dof layout); level-2 (29.5k dofs, full-layout block-Schur solver)
-~690 steps/s = ~50x its baseline; level-3 (61k dofs) 364 steps/s = 62x.
+~690 steps/s = ~50x its baseline; level-3 (61k dofs) 656 steps/s = 111x — throughput is
+nearly size-flat across 8k-61k dofs.
 """
 
 import json
