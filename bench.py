@@ -116,7 +116,7 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
         sym = bool(getattr(prob, "gradvsymmtrc", True))
 
         def step(b, carry, _):
-            vf, nfc_o, gp = carry
+            vf, nfc_o, gp = carry[0], carry[1], carry[2]
             # fused element pipeline: convection + stiffness share the
             # gather and one stacked scatter
             cv, av = b["kern"].vector_and_amatvec(
@@ -128,17 +128,22 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
                    + jnp.float32(dt) * b["fv"])
             rp = (b["fp"] - gp).astype(jnp.float32)
             if schur_full:
-                sol = b["slv"].solve(rhs, rp)
-            else:
-                sol = b["Zp"] @ jnp.concatenate([rhs, rp])
+                ysol = carry[3]
+                sol, y_n = b["slv"].solve_warm(rhs, rp, ysol)
+                return (vf + sol[:nf].astype(vf.dtype), nfc_c, b["fp"],
+                        y_n), None
+            sol = b["Zp"] @ jnp.concatenate([rhs, rp])
             return (vf + sol[:nf].astype(vf.dtype), nfc_c, b["fp"]), None
 
         @partial(jax.jit, static_argnums=3)
         def run(b, s0, gp0, n):
             nfc0 = (-b["kern"].vector(s0)).astype(jnp.float32)
-            (vf, _, _), _ = lax.scan(lambda c, x: step(b, c, x),
-                                     (s0, nfc0, gp0), None, length=n)
-            return vf
+            c0 = (s0, nfc0, gp0)
+            if schur_full:
+                c0 = c0 + (jnp.zeros((nf,), wd),)
+            out, _ = lax.scan(lambda c, x: step(b, c, x),
+                              c0, None, length=n)
+            return out[0]
 
         run(bundle, state0, gp0, nsteps).block_until_ready()
         t0 = time.perf_counter()

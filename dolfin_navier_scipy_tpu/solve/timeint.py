@@ -615,20 +615,29 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                    + jnp.asarray(dt, w) * b["fv"])
             rp = (b["fp"] - c["gp"]).astype(w)
             if schur_full:
-                sol = b["slv"].solve(rhs, rp)
+                # warm-start the PCG from the previous step's F-solve:
+                # consecutive increment solves differ by O(dt), so
+                # ncg_warm ~ 2/3 the cold count holds the tolerance
+                sol, y_n = b["slv"].solve_warm(rhs, rp, c["ysol"])
             else:
                 sol = b["Zp"] @ jnp.concatenate([rhs, rp])
+                y_n = None
             v_n = vf + sol[:nf].astype(vf.dtype)
             p_n = (-sol[nf:] / dt).astype(c["p"].dtype)
             nrm = jnp.linalg.norm(v_n)
             bad = jnp.logical_or(nrm > check_ff_maxv, jnp.isnan(nrm))
             flag = jnp.logical_or(c["flag"], bad)
-            return dict(v=jnp.where(flag, vf, v_n),
-                        p=jnp.where(flag, c["p"], p_n),
-                        nfc=nfc_c, gp=b["fp"], flag=flag)
+            out = dict(v=jnp.where(flag, vf, v_n),
+                       p=jnp.where(flag, c["p"], p_n),
+                       nfc=nfc_c, gp=b["fp"], flag=flag)
+            if schur_full:
+                out["ysol"] = jnp.where(flag, c["ysol"], y_n)
+            return out
 
         carry = dict(v=vf0, p=bs["p"], nfc=nfc0, gp=bs["gp"],
                      flag=jnp.asarray(False))
+        if schur_full:
+            carry["ysol"] = jnp.zeros((nf,), fl["w"])
         carry, ys, tout = _run_scan(fstep, fb, carry, trange[2:],
                                     save_every)
         inv = prob.invinds
