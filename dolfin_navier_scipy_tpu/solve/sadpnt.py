@@ -435,7 +435,9 @@ class SchurSaddleSolver:
             X = Xf
             self.nv = nv_full
         self.X = jnp.asarray(X, dtype)
-        if npp > 3000 and jax.default_backend() != "cpu":
+        use_device_sinv = (npp > 3000
+                           and jax.default_backend() != "cpu")
+        if use_device_sinv:
             # single-core host inv(np^3) takes minutes at lvl2+; the
             # equilibrated f32 device inverse + Newton-Schulz takes <1 s.
             # The hi/lo double-f32 pair is STACKED into one (2np, np)
@@ -443,8 +445,16 @@ class SchurSaddleSolver:
             # kappa(S)*1e-7 (6.6e-3 measured at lvl3), and applying the
             # parts as two separate matvecs trips a ~15x axon scan
             # scheduling cliff.
-            hi, lo = _device_dense_inverse(S)
-            self.Sinv = jnp.concatenate([hi, lo], axis=0)
+            try:
+                hi, lo = _device_dense_inverse(S)
+                self.Sinv = jnp.concatenate([hi, lo], axis=0)
+            except Exception:
+                # the device LU blocks overflow VMEM beyond ~16k rows
+                # (seen at np=17135/lvl4) — fall back to the slow host
+                # f64 inversion + hi/lo split
+                use_device_sinv = False
+        if use_device_sinv:
+            pass
         elif dtype == jnp.float32:
             Sinv64 = np.linalg.inv(S)
             hi = np.asarray(Sinv64, np.float32)
