@@ -28,7 +28,10 @@ if _os.environ.get("DNS_TPU_X64", "1") != "0":
 # (the increment-form integrators budget ~1e-7 per operator application —
 # bf16's 2^-8 destroys the Schur/PCG solves and any Newton-Schulz polish).
 # All hot paths here are HBM-bound matvecs, so this costs no wall-clock.
-_jax_config.update("jax_default_matmul_precision", "float32")
+# DNS_TPU_MATMUL_F32=0 opts out for processes embedding this library
+# alongside bf16-matmul JAX code.
+if _os.environ.get("DNS_TPU_MATMUL_F32", "1") != "0":
+    _jax_config.update("jax_default_matmul_precision", "float32")
 
 __version__ = "0.1.0"
 

@@ -147,6 +147,22 @@ def read_facet_region(mesh, path):
     tags = {}
     mf = root.find("mesh_function")
     if mf is not None:
+        if dim == 3:
+            # The lexicographic facet numbering is verified against every
+            # bundled 2D reference mesh, but only round-tripped through
+            # this repo's own writer in 3D — a dolfin-generated 3D
+            # mesh_function file could order facets differently, which
+            # would silently mis-tag boundaries.  The
+            # ``mesh_value_collection`` variant is ordering-independent.
+            import warnings
+
+            warnings.warn(
+                f"{path}: 3D facet mesh_function read assumes dolfin's "
+                "lexicographic facet numbering (validated in 2D only). "
+                "Prefer the mesh_value_collection facet-region format "
+                "for 3D meshes; verify tags (e.g. inflow facets on the "
+                "inlet plane) before trusting boundary conditions.",
+                stacklevel=2)
         if mf.get("dim") not in (None, str(dim - 1)):
             raise ValueError(
                 f"{path}: facet mesh_function must have dim={dim - 1}")

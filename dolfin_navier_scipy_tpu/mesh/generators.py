@@ -128,7 +128,8 @@ def channel_with_cylinder(
     keep = dcent > radius
     # also drop degenerate slivers
     v = pts[cells]
-    area = 0.5 * np.abs(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
+    e1, e2 = v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]
+    area = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
     keep &= area > 1e-14
     cells = cells[keep]
 

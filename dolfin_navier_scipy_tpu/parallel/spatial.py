@@ -256,8 +256,10 @@ def make_sharded_cnab_step(prob, dt, mesh: Mesh, axis: str = "elem",
         v, nfc_o = carry
         v_full = b["v_bc"].at[b["invinds"]].set(v)
         nfc_c = -b["kern"].vector(v_full)[b["invinds"]]
+        # AB2 extrapolation weight is dt/2 regardless of the implicit
+        # theta (time_int_utils.py:127 uses 0.5*dt with theta fixed 0.5).
         rhs_d = (-dt * b["aff"].a_matvec(v)
-                 + theta * dt * (3 * nfc_c - nfc_o) + dt * b["fv"])
+                 + 0.5 * dt * (3 * nfc_c - nfc_o) + dt * b["fv"])
         sol = b["solver"].solve(rhs_d, b["zp"])
         return (v + sol[:nin].astype(v.dtype), nfc_c.astype(nfc_o.dtype))
 

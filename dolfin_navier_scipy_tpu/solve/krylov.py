@@ -34,18 +34,31 @@ class KrylovCounter:
 
 def solve_sadpnt_krylov(amat=None, jmat=None, jmatT=None, rhsv=None,
                         rhsp=None, umat=None, vmat=None,
-                        krpslvprms=None, precond=None):
+                        krpslvprms=None, krplsprms=None, precond=None):
     """Host GMRES on the saddle system with optional preconditioner.
 
     ``krpslvprms`` keys (matching the reference's kwargs bag):
     ``tol``, ``maxiter``, ``x0``, ``restart``, ``convstatsl`` (a list that
-    collects per-iteration residual norms).  The low-rank feedback update
-    ``A -> A - umat @ vmat`` enters the Krylov operator directly — no
-    Sherman-Morrison bookkeeping needed on the iterative path (the
-    reference's lau supports this combination for the closed-loop runs,
-    solve_nse docstring stokes_navier_utils.py:651-664 + :1505-1512).
+    collects per-iteration residual norms).  ``krplsprms`` carries
+    linear-*system* side parameters the reference forwards to krypy
+    (stokes_navier_utils.py:661, :1511): the supported key is ``Ml`` — a
+    left preconditioner ((nv+np,) vector -> vector callable, sparse
+    matrix, or ``LinearOperator``); it takes precedence over ``precond``.
+    The low-rank feedback update ``A -> A - umat @ vmat`` enters the
+    Krylov operator directly — no Sherman-Morrison bookkeeping needed on
+    the iterative path (the reference's lau supports this combination for
+    the closed-loop runs, solve_nse docstring
+    stokes_navier_utils.py:651-664 + :1505-1512).
     """
     p = dict(krpslvprms or {})
+    lp = dict(krplsprms or {})
+    if "Ml" in lp and lp["Ml"] is not None:
+        Ml = lp["Ml"]
+        if callable(Ml) and not isinstance(Ml, spsla.LinearOperator):
+            n = amat.shape[0] + jmat.shape[0]
+            precond = spsla.LinearOperator((n, n), matvec=Ml)
+        else:
+            precond = spsla.aslinearoperator(Ml)
     nv = amat.shape[0]
     npp = jmat.shape[0]
     jT = jmat.T if jmatT is None else jmatT

@@ -25,10 +25,24 @@ from . import timeint
 
 
 def _carry_to_host(carry):
-    """Scan carry -> plain numpy dict (arrays only; scalar/None fields are
-    reconstructed by :func:`_carry_from_npz`)."""
-    return {k: np.asarray(v) for k, v in carry.items()
-            if hasattr(v, "dtype")}
+    """Scan carry -> a single pickled-pytree npz payload.
+
+    The carry of a controlled run nests control memories (``cmems``),
+    dynamic-rhs memory (``drm``) and the boundary values (``cvals``) —
+    all jax-traceable pytrees (they live in the scan carry), so array
+    leaves round-trip bit-exactly through numpy+pickle.  This is what
+    lets ``save_data`` cover closed-loop runs, matching the reference's
+    cache which stores every controlled trajectory too
+    (stokes_navier_utils.py:950-1070)."""
+    import pickle
+
+    import jax
+
+    def _host(v):
+        return np.asarray(v) if hasattr(v, "dtype") else v
+
+    host = jax.tree_util.tree_map(_host, carry)
+    return {"carry_pkl": np.frombuffer(pickle.dumps(host), dtype=np.uint8)}
 
 
 _CARRY_DEFAULTS = dict(drm=None, cvals=None, cmems=(), bfv=0.0,
@@ -36,9 +50,14 @@ _CARRY_DEFAULTS = dict(drm=None, cvals=None, cmems=(), bfv=0.0,
 
 
 def _carry_from_npz(path, scheme):
-    """Rebuild a scan carry from an ``.npz`` checkpoint (uncontrolled
-    runs; controlled runs keep their carry in memory)."""
+    """Rebuild a scan carry from an ``.npz`` checkpoint.  Current files
+    hold one pickled pytree (controlled + uncontrolled); the legacy
+    plain-array layout of earlier checkpoints still loads."""
     dat = np.load(path)
+    if "carry_pkl" in dat.files:
+        import pickle
+
+        return pickle.loads(dat["carry_pkl"].tobytes())
     keys = (("v", "p", "nfc", "fv", "dfv", "gp", "flag")
             if scheme == "cnab"
             else ("v", "dv", "p", "nfc_p", "fv", "dfv", "gp", "flag"))
@@ -270,10 +289,6 @@ def solve_nse(
         # re-bootstraps from the last stored velocity)
         from ..utils.io import get_datastr
 
-        if controls or dynamic_rhs is not None:
-            raise NotImplementedError(
-                "disk checkpointing stores only the uncontrolled scan "
-                "carry; for controlled runs pass resume_carry in memory")
         nts = len(trange) - 1
 
         def ckpt_path(t):

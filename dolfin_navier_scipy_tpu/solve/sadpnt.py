@@ -130,7 +130,8 @@ def solve_sadpnt(amat=None, jmat=None, jmatT=None, rhsv=None, rhsp=None,
         x, _ = solve_sadpnt_krylov(amat=amat, jmat=jmat, jmatT=jmatT,
                                    rhsv=rhsv, rhsp=rhsp,
                                    umat=umat, vmat=vmat,
-                                   krpslvprms=krpslvprms)
+                                   krpslvprms=krpslvprms,
+                                   krplsprms=krplsprms)
         return x
     solver = SaddleSolver(amat, jmat, jmatT)
     if rhsp is None:

@@ -268,7 +268,8 @@ def solve_steadystate_nse(
             _os.remove(fname)
     if useolddata:
         try:
-            norm_nwtnupd = float(dou.load_npa(cdatstr + "__norm_nwtnupd"))
+            norm_nwtnupd = float(
+                np.asarray(dou.load_npa(cdatstr + "__norm_nwtnupd")).ravel()[0])
             vel_k = dou.load_npa(cdatstr + "__vel")
             if norm_nwtnupd < vel_nwtn_tol:
                 if verbose:

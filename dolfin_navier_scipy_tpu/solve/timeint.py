@@ -477,7 +477,7 @@ def _wrap_feedback(ops, umat, vmat, c):
     wrapped = TimeIntOps(solver=SMWSolver(base=ops.solver, umat=U, vmat=V,
                                           c=c),
                          M=ops.M, A=ops.A, E=ops.E,
-                         dt=ops.dt, theta=ops.theta)
+                         dt=ops.dt, theta=ops.theta, wdtype=ops.wdtype)
     return wrapped, (jnp.asarray(U), jnp.asarray(V))
 
 

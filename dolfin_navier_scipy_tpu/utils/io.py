@@ -141,16 +141,38 @@ def meas_output_diff(ylist, tmesh, ystar):
     return err
 
 
+def save_outp_sig_tikz(tmesh, outsig, tikzfile):
+    """Write the signal as a standalone pgfplots ``.tex`` picture — the
+    native replacement for the reference's tikzplotlib export
+    (data_output_utils.py:134-141), with no external dependency."""
+    sig = np.atleast_2d(np.asarray(outsig, dtype=float))
+    if sig.shape[0] != len(tmesh):
+        sig = sig.T
+    lines = ["\\begin{tikzpicture}",
+             "\\begin{axis}[xlabel={$t$}]"]
+    for j in range(sig.shape[1]):
+        coords = " ".join(f"({t:.10g},{y:.10g})"
+                          for t, y in zip(tmesh, sig[:, j]))
+        lines.append(f"\\addplot coordinates {{{coords}}};")
+    lines += ["\\end{axis}", "\\end{tikzpicture}", ""]
+    with open(tikzfile, "w") as f:
+        f.write("\n".join(lines))
+    logging.info(f"tikz picture saved to {tikzfile}")
+
+
 def plot_outp_sig(str_to_json=None, tmeshkey="tmesh", sigkey="outsig",
-                  outsig=None, tmesh=None, fignum=222):
+                  outsig=None, tmesh=None, fignum=222, tikzfile=None):
     """Plot a stored output signal (data_output_utils.py:113-199);
-    matplotlib is imported lazily and optional."""
+    matplotlib is imported lazily and optional.  ``tikzfile`` writes a
+    pgfplots ``.tex`` export alongside (data_output_utils.py:134-141)."""
     if str_to_json is not None:
         with open(str_to_json) as f:
             jsdict = json.load(f)
         dd = jsdict["datadict"] if "datadict" in jsdict else jsdict
         tmesh = dd[tmeshkey]
         outsig = dd[sigkey]
+    if tikzfile is not None:
+        save_outp_sig_tikz(tmesh, outsig, tikzfile)
     try:
         import matplotlib.pyplot as plt
     except ImportError:

@@ -13,10 +13,11 @@ import xml.sax.saxutils as sax
 import numpy as np
 
 
-def write_vtu(fname, mesh, pointdata=None):
+def write_vtu(fname, mesh, pointdata=None, celldata=None):
     """Write a triangle mesh with named point-data arrays to ASCII VTU.
 
     ``pointdata``: dict name -> (nverts,) scalars or (nverts, 2/3) vectors.
+    ``celldata``: dict name -> (ncells,) scalars (e.g. DG0 pressure).
     """
     verts = mesh.verts
     cells = mesh.cells
@@ -61,7 +62,15 @@ def write_vtu(fname, mesh, pointdata=None):
                     z = 0.0 if arr.shape[1] == 2 else row[2]
                     f.write(f"{row[0]} {row[1]} {z}\n")
             f.write("</DataArray>\n")
-        f.write("</PointData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+        f.write("</PointData>\n")
+        f.write("<CellData>\n")
+        for name, arr in (celldata or {}).items():
+            f.write(f'<DataArray type="Float64" Name="{sax.escape(name)}"'
+                    ' format="ascii">\n')
+            for v in np.asarray(arr).ravel():
+                f.write(f"{v}\n")
+            f.write("</DataArray>\n")
+        f.write("</CellData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
 
 
 class PVDWriter:
@@ -94,26 +103,13 @@ class PVDWriter:
             cnt[b] += 1
         return acc / np.maximum(cnt, 1)[:, None]
 
-    def _vertex_pressure(self, p):
-        space = self.prob.space
-        if getattr(space, "scheme", "TH") == "TH":
-            return p
-        # DG0 -> vertex average over adjacent cells
-        mesh = space.mesh
-        acc = np.zeros(mesh.num_verts)
-        cnt = np.zeros(mesh.num_verts)
-        np.add.at(acc, mesh.cells.ravel(),
-                  np.repeat(p, mesh.cells.shape[1]))
-        np.add.at(cnt, mesh.cells.ravel(), 1)
-        return acc / np.maximum(cnt, 1)
-
     def write(self, v_full=None, p=None, t=0.0):
         if self.tfilter is not None:
             if not self.tfilter or t < self.tfilter[0]:
                 return
             self.tfilter.pop(0)
         prob = self.prob
-        data = {}
+        data, cdata = {}, {}
         if v_full is not None:
             dim = getattr(prob.space, "dim", 2)
             vf = np.asarray(v_full).reshape(-1, dim)
@@ -122,9 +118,14 @@ class PVDWriter:
             p = np.asarray(p).ravel()
             if prob.geo.ppin is not None and len(p) == prob.np_cond:
                 p = np.concatenate([p, [0.0]])
-            data["pressure"] = self._vertex_pressure(p)
+            if getattr(prob.space, "scheme", "TH") == "TH":
+                data["pressure"] = p
+            else:
+                # DG0 pressure IS piecewise-constant cell data — write it
+                # as such (no lossy vertex averaging)
+                cdata["pressure"] = p
         fname = f"{self.prefix}_{len(self.entries):06d}.vtu"
-        write_vtu(fname, prob.space.mesh, data)
+        write_vtu(fname, prob.space.mesh, data, celldata=cdata)
         self.entries.append((t, os.path.basename(fname)))
 
     def close(self):

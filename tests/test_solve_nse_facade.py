@@ -112,3 +112,57 @@ def test_checkpoint_resume_exact(prob, tmp_path):
     # clearprvdata wipes the store
     solve_nse(clearprvdata=True, data_prfx=prfx, **kw)
     assert not _glob.glob(prfx + "*__carry.npz")
+
+
+def test_checkpoint_resume_controlled(tmp_path):
+    """Disk checkpoints cover closed-loop runs: the control memories and
+    boundary values (``cmems``/``cvals``) are serialized inside the scan
+    carry, so a ``useolddata`` resume with a stateful DirichletControl
+    reproduces the uninterrupted trajectory exactly (the reference caches
+    controlled runs too, stokes_navier_utils.py:950-1070)."""
+    import glob as _glob
+
+    import jax.numpy as jnp
+
+    from dolfin_navier_scipy_tpu.models import cylinderwake_problem
+    from dolfin_navier_scipy_tpu.solve import (DirichletControl,
+                                               solve_steadystate_nse)
+
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2,
+                                movingwallcntrl=True)
+    dofs, stencil = prob.dircntrl[0]
+    vss = solve_steadystate_nse(prob, verbose=False, vel_pcrd_stps=2,
+                                vel_nwtn_stps=5, vel_nwtn_tol=1e-10)
+    v0 = vss.ravel()[prob.invinds]
+
+    def ufunc(t, v_full, p, memory, mode):
+        # stateful rotation rate: the carried memory MUST survive the
+        # checkpoint round-trip for the resumed run to match
+        memory = memory + 0.05
+        return jnp.sin(20.0 * t) * jnp.cos(memory), memory
+
+    def mkctrl():
+        return DirichletControl(dofs=dofs, stencil=stencil, ufunc=ufunc,
+                                memory=jnp.asarray(0.0))
+
+    kw = dict(prob=prob, t0=0.0, tE=0.05, Nts=20, iniv=v0, save_every=5)
+    ref = solve_nse(controls=[mkctrl()], **kw)
+    assert not ref["ffflag"]
+
+    prfx = str(tmp_path / "ctl")
+    out = solve_nse(controls=[mkctrl()], save_data=True,
+                    checkpoint_every=5, data_prfx=prfx, **kw)
+    assert np.allclose(np.asarray(out["v"]), np.asarray(ref["v"]),
+                       rtol=0, atol=1e-13)
+
+    # crash after step 10: drop the later checkpoints, resume
+    cks = sorted(_glob.glob(prfx + "*__carry.npz"), key=os.path.getmtime)
+    assert len(cks) == 4
+    for f in cks[2:]:
+        os.remove(f)
+    res = solve_nse(controls=[mkctrl()], useolddata=True, save_data=True,
+                    checkpoint_every=5, data_prfx=prfx, **kw)
+    assert np.allclose(np.asarray(res["v"]), np.asarray(ref["v"]),
+                       rtol=0, atol=1e-13)
+    assert np.allclose(np.asarray(res["vs"][-2:]),
+                       np.asarray(out["vs"][-2:]), rtol=0, atol=1e-14)
