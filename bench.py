@@ -240,25 +240,51 @@ def baseline_loop(prob, dt, nsteps=60, v0=None, return_v=False):
     return nsteps / el
 
 
-def level2_steps_per_sec():
-    """Level-2 (~30k dofs) CNAB on the device via the block-Schur solver;
-    isolated in a subprocess because historic axon runtime faults at this
-    size killed the worker (docs/ROADMAP.md)."""
+def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300):
+    """Level-N measurement: steps/s + splu-twin baseline + trajectory
+    rel_err vs the f64 splu oracle over ``oracle_steps`` from the Stokes
+    state (run inside the subprocess, see :func:`level_steps_per_sec`)."""
+    import numpy as np
+
+    _arm_cache()
+    t0 = time.time()
+    prob, dt = build(level=level)
+    from dolfin_navier_scipy_tpu.solve.sadpnt import solve_sadpnt_host
+
+    vp = solve_sadpnt_host(amat=prob.Mc + 0.5 * dt * prob.Ac,
+                           jmat=prob.Jc, jmatT=prob.JTc,
+                           rhsv=np.asarray(prob.fv).ravel(),
+                           rhsp=np.asarray(prob.fp).ravel())
+    v0 = vp[: len(prob.invinds), 0]
+    sps_, v_dev, ops = device_steps_per_sec(
+        prob, dt, nsteps=nsteps, mode="accurate", linsolver="schur",
+        layout="full", v0=v0)
+    setup_s = round(time.time() - t0, 1)
+    if nsteps != oracle_steps:
+        _, v_dev, _ = device_steps_per_sec(
+            prob, dt, nsteps=oracle_steps, mode="accurate",
+            linsolver="schur", layout="full", v0=v0, ops=ops)
+    _, v64 = baseline_loop(prob, dt, nsteps=oracle_steps, v0=v0,
+                           return_v=True)
+    rel = float(np.linalg.norm(v_dev - v64) / np.linalg.norm(v64))
+    base = baseline_loop(prob, dt, nsteps=base_steps, v0=v0)
+    k = f"l{level}"
+    return {k: round(sps_, 2), k + "_base": round(base, 2),
+            k + "_dofs": int(len(prob.invinds) + prob.np_cond),
+            k + "_rel_err": rel, k + "_setup_s": setup_s,
+            k + "_vs_baseline": round(sps_ / base, 2)}
+
+
+def level_steps_per_sec(level, base_steps=20, oracle_steps=300):
+    """Level-N CNAB on the device via the block-Schur solver; isolated in
+    a subprocess because historic axon runtime faults at lvl2+ sizes
+    killed the worker (docs/ROADMAP.md)."""
     import subprocess
     import sys
 
-    code = (
-        "import json, bench;"
-        "bench._arm_cache();"
-        "prob, dt = bench.build(level=2);"
-        "sps_, v, _ = bench.device_steps_per_sec("
-        "    prob, dt, nsteps=300, mode='accurate', linsolver='schur',"
-        "    layout='full');"
-        "base = bench.baseline_loop(prob, dt, nsteps=20);"
-        "print(json.dumps({'l2': round(sps_, 2),"
-        "                  'l2_base': round(base, 2),"
-        "                  'l2_dofs': int(len(prob.invinds) + prob.np_cond)}))"
-    )
+    code = (f"import json, bench;"
+            f"print(json.dumps(bench._level_body({level},"
+            f" base_steps={base_steps}, oracle_steps={oracle_steps})))")
     try:
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True, timeout=2400,
@@ -266,7 +292,7 @@ def level2_steps_per_sec():
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
     except Exception:
-        return {"l2": None, "l2_base": None, "l2_dofs": None}
+        return {f"l{level}": None}
 
 
 def main():
@@ -301,7 +327,8 @@ def main():
     # the single-core host baseline jitters ~15% run-to-run; median of 3
     base = float(np.median([baseline_loop(prob, dt, nsteps=100, v0=v0)
                             for _ in range(3)]))
-    l2 = level2_steps_per_sec()
+    l2 = level_steps_per_sec(2)
+    l3 = level_steps_per_sec(3, base_steps=12, oracle_steps=300)
     print(json.dumps({
         "metric": "cnab_steps_per_sec_cylwake2d",
         "value": round(dev, 2),
@@ -316,6 +343,7 @@ def main():
         "setup_s": setup_s,
         "first_run_s": first_run_s,
         "level2": l2,
+        "level3": l3,
     }))
 
 

@@ -214,12 +214,142 @@ class ShardedConvKernel:
         )(*self.leaves, u1_full, u2)
 
 
+@jax.tree_util.register_pytree_node_class
+class ShardedSchurSolver:
+    """Block-Schur solver with the dense factors ROW-SHARDED over the
+    ICI mesh axis — multi-chip buys *capacity*, not just throughput.
+
+    ``X (nv, np)`` is the memory that exhausts one chip first (9.3 GB at
+    the reference's karman lvl4 mesh, docs/ROADMAP.md): its rows (and the
+    stacked hi/lo ``S^{-1}`` rows) are partitioned across the devices;
+    the PCG F-solve rides the already element-sharded operators (one
+    ``psum`` per application), and each dense factor application is one
+    local MXU matmul + one tiled ``all_gather`` of the row blocks.
+
+    Replicated pieces: ``dinv`` (an O(nv) vector) and the rhs/state.
+    """
+
+    _leaf_names = ("X_sh", "Sinv_sh", "dinv", "Kop", "Jop")
+    _aux_names = ("mesh", "axis", "nv", "np", "ns", "ncg", "dtype")
+
+    def __init__(self, base=None, mesh=None, axis="elem",
+                 factors=None, _leaves=None, _aux=None):
+        """Wrap a built :class:`~..solve.sadpnt.SchurSaddleSolver`
+        (``base``; its ``res_ops`` must already be sharded views), or
+        pass ``factors=(X, Sinv, dinv, ncg, Kop, Jop)`` directly (used
+        by the capacity dryrun, where seeding exact factors on a single
+        host core would take an hour)."""
+        if _leaves is not None:
+            for n, v in zip(self._leaf_names, _leaves):
+                setattr(self, n, v)
+            for n, v in zip(self._aux_names, _aux):
+                setattr(self, n, v)
+            return
+        if factors is not None:
+            X, Sinv, dinv, ncg, Kop, Jop = factors
+        else:
+            X, Sinv, dinv, ncg = base.X, base.Sinv, base.dinv, base.ncg
+            Kop, Jop = base.Kop, base.Jop
+        self.mesh = mesh
+        self.axis = axis
+        self.nv, self.np = X.shape
+        self.ns = Sinv.shape[0]
+        self.ncg = int(ncg)
+        self.dtype = X.dtype
+        self.dinv = jax.device_put(jnp.asarray(dinv),
+                                   NamedSharding(mesh, P()))
+        self.Kop, self.Jop = Kop, Jop
+        ndev = mesh.shape[axis]
+
+        def _shard_rows(A):
+            # host arrays are padded in numpy and device_put SHARDED —
+            # each device receives only its row block, so a factor larger
+            # than one chip's HBM never stages on a single device
+            n = A.shape[0]
+            n_pad = ((n + ndev - 1) // ndev) * ndev
+            if isinstance(A, np.ndarray):
+                if n_pad != n:
+                    A = np.concatenate(
+                        [A, np.zeros((n_pad - n, A.shape[1]), A.dtype)])
+            elif n_pad != n:
+                A = jnp.concatenate(
+                    [A, jnp.zeros((n_pad - n, A.shape[1]), A.dtype)])
+            return jax.device_put(A, NamedSharding(mesh, P(axis, None)))
+
+        self.X_sh = _shard_rows(X)
+        self.Sinv_sh = _shard_rows(Sinv)
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, n) for n in self._leaf_names),
+                tuple(getattr(self, n) for n in self._aux_names))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(_leaves=children, _aux=aux)
+
+    def _rows_apply(self, A_sh, g, nrows):
+        """Row-sharded dense matvec: one local MXU matmul per device;
+        the output stays row-sharded (``P(axis)``) and XLA inserts the
+        gather where the consumer needs the replicated value."""
+        axis = self.axis
+
+        def local(Al, gs):
+            return Al @ gs
+
+        out = shard_map(local, mesh=self.mesh,
+                        in_specs=(P(axis, None), P()),
+                        out_specs=P(axis))(A_sh, g)
+        return out[:nrows]
+
+    def _fmv(self, x):
+        return self.Kop.matvec(x)
+
+    def _fsolve(self, b, x0=None, niter=None):
+        from ..solve.sadpnt import jacobi_pcg
+
+        return jacobi_pcg(self._fmv, self.dinv, b, niter or self.ncg,
+                          x0=x0)
+
+    def _sapply(self, g):
+        q2 = self._rows_apply(self.Sinv_sh, g, self.ns)
+        if self.ns == 2 * self.np:
+            return q2[: self.np] + q2[self.np:]
+        return q2
+
+    def solve(self, rhsv, rhsp):
+        bv = rhsv.reshape(-1).astype(self.dtype)
+        bp = rhsp.reshape(-1).astype(self.dtype)
+        y = self._fsolve(bv)
+        q = self._sapply(self.Jop.matvec(y) - bp)
+        v = y - self._rows_apply(self.X_sh, q, self.nv)
+        return jnp.concatenate([v, q])
+
+    @property
+    def ncg_warm(self):
+        return max(6, (2 * self.ncg) // 3)
+
+    def solve_warm(self, rhsv, rhsp, y0):
+        bv = rhsv.reshape(-1).astype(self.dtype)
+        bp = rhsp.reshape(-1).astype(self.dtype)
+        y = self._fsolve(bv, x0=y0, niter=self.ncg_warm)
+        q = self._sapply(self.Jop.matvec(y) - bp)
+        v = y - self._rows_apply(self.X_sh, q, self.nv)
+        return jnp.concatenate([v, q]), y
+
+
 def make_sharded_cnab_step(prob, dt, mesh: Mesh, axis: str = "elem",
-                           theta=0.5, work_dtype=None):
+                           theta=0.5, work_dtype=None,
+                           shard_factors=False, setup="auto",
+                           factors=None):
     """Increment-form CNAB step with ALL per-step operator work sharded
     over the element axis (convection assembly, A-matvec, the PCG
-    F-solves of the block-Schur solver); the small dense Schur factors
-    (X, S^{-1}) stay replicated.
+    F-solves of the block-Schur solver).
+
+    ``shard_factors=True`` additionally ROW-SHARDS the dense Schur
+    factors (X, stacked S^{-1}) over the same axis
+    (:class:`ShardedSchurSolver`) — this is what extends *capacity* past
+    the single-chip HBM ceiling (lvl4/150k dofs, docs/ROADMAP.md); with
+    ``False`` they stay replicated (pure-throughput mode).
 
     Returns ``(step, bundle)`` with
     ``step(bundle, (v, nfc_o)) -> (v_n, nfc_c)``; jit/scan-safe — pass
@@ -236,11 +366,22 @@ def make_sharded_cnab_step(prob, dt, mesh: Mesh, axis: str = "elem",
     saff = ShardedAffineOps(aff, mesh, axis)
     kern = ConvectionKernel(prob.ctx, dtype=work_dtype)
     skern = ShardedConvKernel(kern, mesh, axis)
-    coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
-    solver = SchurSaddleSolver(
-        coeff, prob.Jc, prob.JTc,
-        res_ops=(saff.view("ma", cm=1.0, ca=theta * dt), saff.view("j")),
-        dtype=work_dtype)
+    res_ops = (saff.view("ma", cm=1.0, ca=theta * dt), saff.view("j"))
+    if factors is not None:
+        # pre-seeded (X, Sinv, dinv, ncg): skip the full solver build —
+        # the lvl4 capacity path, where exact factor seeding costs ~25
+        # min on this single-core host (tests/test_capacity_lvl4.py)
+        X, Sinv, dinv, ncg = factors
+        solver = ShardedSchurSolver(
+            mesh=mesh, axis=axis,
+            factors=(X, Sinv, dinv, ncg, res_ops[0], res_ops[1]))
+    else:
+        coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
+        solver = SchurSaddleSolver(
+            coeff, prob.Jc, prob.JTc, res_ops=res_ops,
+            dtype=work_dtype, setup=setup)
+        if shard_factors:
+            solver = ShardedSchurSolver(base=solver, mesh=mesh, axis=axis)
     bundle = dict(
         solver=solver,
         kern=skern,

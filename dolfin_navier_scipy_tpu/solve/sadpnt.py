@@ -205,6 +205,107 @@ def _device_dense_inverse(S, ns_iters=2):
             jnp.where(jnp.abs(C) < flush, np.float32(0.0), C))
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _equilibrate_inv_jit(S, iters):
+    """Device-resident variant of :func:`_device_dense_inverse`: the
+    Schur complement already lives on the accelerator (built by the
+    blocked PCG below) — pulling it through the ~6 MB/s tunnel to
+    equilibrate on host would cost minutes at lvl3 sizes."""
+    d = jnp.sqrt(jnp.max(jnp.abs(S), axis=1))
+    d = jnp.where(d == 0, 1.0, d).astype(jnp.float32)
+    Seq = ((S / d[:, None]) / d[None, :]).astype(jnp.float32)
+    return _devinv_dense_jit(Seq, 1.0 / d, iters)
+
+
+@partial(jax.jit, static_argnames=("niter",))
+def _block_pcg_jit(fc, fv, dinv, B, niter):
+    """Jacobi-PCG on ``F X = B`` for a BLOCK of right-hand sides.
+
+    ``fc/fv`` are F's padded-ELL (cols, vals); per-column step sizes
+    ride one (n, k) elementwise pass, the F application is one gather +
+    contraction — this is how ``X = F^{-1} J^T`` is built ON the
+    accelerator instead of np single-core host backsolves
+    (the round-2 lvl3 setup spent ~5 min there)."""
+    import jax.lax as lax
+
+    def fmv(P):
+        return (fv[:, :, None] * P[fc, :]).sum(axis=1)
+
+    X = jnp.zeros_like(B)
+    R = B
+    Z = dinv[:, None] * R
+    P = Z
+    rz = (R * Z).sum(axis=0)
+
+    def body(_, st):
+        X, R, P, rz = st
+        AP = fmv(P)
+        pAp = (P * AP).sum(axis=0)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = dinv[:, None] * R
+        rz_n = (R * Z).sum(axis=0)
+        beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+        return (X, R, Z + beta[None, :] * P, rz_n)
+
+    X, _, _, _ = lax.fori_loop(0, niter, body, (X, R, P, rz))
+    return X
+
+
+def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256):
+    """Build ``X = F^{-1} J^T`` and ``S = J X`` on the accelerator.
+
+    Column chunks of ``J^T`` are densified on device from (tiny) triplet
+    uploads and solved by :func:`_block_pcg_jit`; ``S``'s chunks come
+    from one ELL application of ``J``.  Nothing larger than a chunk ever
+    crosses the host<->device tunnel.  Returns device ``(X, S)`` in f32.
+    """
+    from ..ops.sparse import ell_from_scipy_fast
+
+    nv, npp = jT.shape
+    F_ell = ell_from_scipy_fast(F, dtype=jnp.float32)
+    J_ell = ell_from_scipy_fast(J, dtype=jnp.float32)
+    dinv = jnp.asarray(dinv_np, jnp.float32)
+    jt_coo = sps.coo_matrix(jT)
+    order = np.argsort(jt_coo.col, kind="stable")
+    r_all, c_all, v_all = (jt_coo.row[order], jt_coo.col[order],
+                           jt_coo.data[order])
+    # setup-only cost: a generous FIXED count (not ncg-derived) so the
+    # compiled executable's cache key depends only on the problem shapes
+    # — the remote axon compile is minutes, the warm build ~6 s at lvl2
+    niter = max(40, int(ncg) + 12)
+
+    @partial(jax.jit, static_argnames=("width", "n"))
+    def chunk_solve(rows, cols, vals, width, n):
+        B = jnp.zeros((n, width), jnp.float32).at[rows, cols].add(vals)
+        Xc = _block_pcg_jit(F_ell.cols, F_ell.vals, dinv, B, niter)
+        Sc = (J_ell.vals[:, :, None] * Xc[J_ell.cols, :]).sum(axis=1)
+        return Xc, Sc
+
+    # uniform per-chunk triplet padding -> ONE compiled executable
+    bounds = np.searchsorted(c_all, np.arange(0, npp + chunk, chunk))
+    maxtrip = max(int(np.diff(bounds).max()), 1)
+    X_chunks, S_chunks = [], []
+    for lo in range(0, npp, chunk):
+        hi = min(lo + chunk, npp)
+        s, e = bounds[lo // chunk], bounds[lo // chunk + 1]
+        nt = e - s
+        rows = np.zeros(maxtrip, np.int32)
+        cols = np.zeros(maxtrip, np.int32)
+        vals = np.zeros(maxtrip, np.float32)
+        rows[:nt] = r_all[s:e]
+        cols[:nt] = c_all[s:e] - lo
+        # padded triplets alias (0, 0) with value 0 -> harmless .add
+        vals[:nt] = v_all[s:e]
+        Xc, Sc = chunk_solve(jnp.asarray(rows), jnp.asarray(cols),
+                             jnp.asarray(vals), chunk, nv)
+        X_chunks.append(Xc[:, : hi - lo])
+        S_chunks.append(Sc[:, : hi - lo])
+    return (jnp.concatenate(X_chunks, axis=1),
+            jnp.concatenate(S_chunks, axis=1))
+
+
 def _device_f32_inverse(K, ns_iters=2):
     """f32 saddle inverse built ON the accelerator: symmetric max-norm
     equilibration (host, sparse) -> device densify + f32 LU inverse ->
@@ -375,6 +476,37 @@ class InverseSaddleSolver:
         return x
 
 
+def jacobi_pcg(fmv, dinv, b, niter, x0=None):
+    """Jacobi-preconditioned CG with a STATIC iteration count — the
+    scan/jit-safe inner solve of the block-Schur path (fixed control
+    flow; ``fmv`` may hide a ``shard_map`` + ``psum``).  The carry stays
+    in ``b``'s dtype regardless of what precision ``fmv`` computes in."""
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0.astype(b.dtype)
+        r = b - fmv(x).astype(b.dtype)
+    z = (dinv * r).astype(b.dtype)
+    p = z
+    rz = r @ z
+
+    def body(_, st):
+        x, r, p, rz = st
+        Ap = fmv(p).astype(b.dtype)
+        pAp = p @ Ap
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = (dinv * r).astype(b.dtype)
+        rz_n = r @ z
+        beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+        return (x, r, z + beta * p, rz_n)
+
+    x, _, _, _ = jax.lax.fori_loop(0, niter, body, (x, r, p, rz))
+    return x
+
+
 @jax.tree_util.register_pytree_node_class
 class SchurSaddleSolver:
     """Block-Schur saddle solver: exact dense Schur factors seeded by ONE
@@ -404,14 +536,21 @@ class SchurSaddleSolver:
 
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
-                 full_map=None,
+                 full_map=None, setup="auto",
                  _leaves=None, _aux=None):
         """``full_map=(invinds, nv_full)`` builds the solver over the
         FULL velocity dof set (the fast state layout): X rows and the
         Jacobi diagonal are zero-padded onto the bc dofs — the zero
         ``dinv`` entries mask the bc-row garbage of unconstrained
         element matvecs inside the PCG and pin the bc increments to
-        zero.  ``res_ops`` must then be full-dof views."""
+        zero.  ``res_ops`` must then be full-dof views.
+
+        ``setup``: 'host' seeds X/S from one sparse ``splu`` (exact, but
+        np single-core backsolves — ~5 min at lvl3); 'device' builds both
+        factors on the accelerator via blocked Jacobi-PCG
+        (:func:`_build_schur_factors_device`, seconds); 'auto' picks
+        'device' on an accelerator backend once the host cost bites
+        (within the ~16k-row device-LU ceiling for the S inversion)."""
         if _leaves is not None:
             for n, v in zip(self._leaf_names, _leaves):
                 setattr(self, n, v)
@@ -426,45 +565,81 @@ class SchurSaddleSolver:
         nv, npp = F.shape[0], J.shape[0]
         self.nv, self.np = nv, npp
 
-        lu = spsla.splu(F)
-        X = lu.solve(np.asarray(jT.todense()))           # (nv, np)
-        S = np.asarray(J @ X)                            # (np, np), SPD
-        if full_map is not None:
-            invinds, nv_full = full_map
-            Xf = np.zeros((nv_full, npp))
-            Xf[np.asarray(invinds)] = X
-            X = Xf
-            self.nv = nv_full
-        self.X = jnp.asarray(X, dtype)
-        use_device_sinv = (npp > 3000
-                           and jax.default_backend() != "cpu")
-        if use_device_sinv:
-            # single-core host inv(np^3) takes minutes at lvl2+; the
-            # equilibrated f32 device inverse + Newton-Schulz takes <1 s.
-            # The hi/lo double-f32 pair is STACKED into one (2np, np)
-            # operator: a single f32 inverse only solves to
-            # kappa(S)*1e-7 (6.6e-3 measured at lvl3), and applying the
-            # parts as two separate matvecs trips a ~15x axon scan
-            # scheduling cliff.
-            try:
-                hi, lo = _device_dense_inverse(S)
-                self.Sinv = jnp.concatenate([hi, lo], axis=0)
-            except Exception:
-                # the device LU blocks overflow VMEM beyond ~16k rows
-                # (seen at np=17135/lvl4) — fall back to the slow host
-                # f64 inversion + hi/lo split
-                use_device_sinv = False
-        if use_device_sinv:
-            pass
-        elif dtype == jnp.float32:
-            Sinv64 = np.linalg.inv(S)
-            hi = np.asarray(Sinv64, np.float32)
-            lo = np.asarray(Sinv64 - np.asarray(hi, np.float64),
-                            np.float32)
-            self.Sinv = jnp.asarray(np.concatenate([hi, lo], axis=0))
-        else:
-            self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
         dv = F.diagonal()
+        if ncg is None:
+            # count host Jacobi-PCG iterations to the work-precision
+            # tolerance once, then freeze (static loop bound on device)
+            if cg_tol is None:
+                cg_tol = 1e-7 if dtype == jnp.float32 else 1e-13
+            rng = np.random.default_rng(0)
+            b = rng.standard_normal(nv)
+            it = [0]
+
+            def cb(_):
+                it[0] += 1
+
+            spsla.cg(F, b, rtol=cg_tol, atol=0.0, maxiter=400,
+                     M=sps.diags(1.0 / dv), callback=cb)
+            ncg = it[0] + 3
+        self.ncg = int(ncg)
+
+        on_dev = jax.default_backend() != "cpu"
+        if setup == "auto":
+            setup = ("device" if on_dev and npp <= 16000
+                     and (nv > 12000 or npp > 1500) else "host")
+
+        if setup == "device":
+            X, S = _build_schur_factors_device(F, J, jT, 1.0 / dv,
+                                               self.ncg)
+            if full_map is not None:
+                invinds, nv_full = full_map
+                X = (jnp.zeros((nv_full, npp), X.dtype)
+                     .at[jnp.asarray(np.asarray(invinds))].set(X))
+                self.nv = nv_full
+            self.X = X.astype(dtype)
+            hi, lo = _equilibrate_inv_jit(S, 2)
+            flush = np.float32(1.2e-38)
+            hi = jnp.where(jnp.abs(hi) < flush, np.float32(0.0), hi)
+            lo = jnp.where(jnp.abs(lo) < flush, np.float32(0.0), lo)
+            self.Sinv = jnp.concatenate([hi, lo], axis=0)
+        else:
+            lu = spsla.splu(F)
+            X = lu.solve(np.asarray(jT.todense()))           # (nv, np)
+            S = np.asarray(J @ X)                            # (np, np), SPD
+            if full_map is not None:
+                invinds, nv_full = full_map
+                Xf = np.zeros((nv_full, npp))
+                Xf[np.asarray(invinds)] = X
+                X = Xf
+                self.nv = nv_full
+            self.X = jnp.asarray(X, dtype)
+            use_device_sinv = npp > 3000 and on_dev
+            if use_device_sinv:
+                # single-core host inv(np^3) takes minutes at lvl2+; the
+                # equilibrated f32 device inverse + Newton-Schulz takes
+                # <1 s.  The hi/lo double-f32 pair is STACKED into one
+                # (2np, np) operator: a single f32 inverse only solves to
+                # kappa(S)*1e-7 (6.6e-3 measured at lvl3), and applying
+                # the parts as two separate matvecs trips a ~15x axon
+                # scan scheduling cliff.
+                try:
+                    hi, lo = _device_dense_inverse(S)
+                    self.Sinv = jnp.concatenate([hi, lo], axis=0)
+                except Exception:
+                    # the device LU blocks overflow VMEM beyond ~16k rows
+                    # (seen at np=17135/lvl4) — fall back to the slow
+                    # host f64 inversion + hi/lo split
+                    use_device_sinv = False
+            if use_device_sinv:
+                pass
+            elif dtype == jnp.float32:
+                Sinv64 = np.linalg.inv(S)
+                hi = np.asarray(Sinv64, np.float32)
+                lo = np.asarray(Sinv64 - np.asarray(hi, np.float64),
+                                np.float32)
+                self.Sinv = jnp.asarray(np.concatenate([hi, lo], axis=0))
+            else:
+                self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
         if full_map is not None:
             dinvf = np.zeros(self.nv)
             dinvf[np.asarray(full_map[0])] = 1.0 / dv
@@ -485,22 +660,6 @@ class SchurSaddleSolver:
             self.J_ell = ell_from_scipy_fast(J, dtype=dtype)
             self.JT_ell = ell_from_scipy_fast(jT, dtype=dtype)
 
-        if ncg is None:
-            # count host Jacobi-PCG iterations to the work-precision
-            # tolerance once, then freeze (static loop bound on device)
-            if cg_tol is None:
-                cg_tol = 1e-7 if dtype == jnp.float32 else 1e-13
-            rng = np.random.default_rng(0)
-            b = rng.standard_normal(nv)
-            it = [0]
-
-            def cb(_):
-                it[0] += 1
-
-            spsla.cg(F, b, rtol=cg_tol, atol=0.0, maxiter=400,
-                     M=sps.diags(1.0 / dv), callback=cb)
-            ncg = it[0] + 3
-        self.ncg = int(ncg)
         if refine is None:
             # refine=1 recovers work-precision solves from the ~1e-3
             # device-f32 Schur inverse at large pressure counts (lvl2
@@ -533,33 +692,8 @@ class SchurSaddleSolver:
 
     def _fsolve(self, b, x0=None, niter=None):
         """Jacobi-PCG with a static iteration count (warm-startable)."""
-        import jax.lax as lax
-
-        if x0 is None:
-            x = jnp.zeros_like(b)
-            r = b
-        else:
-            x = x0.astype(b.dtype)
-            r = b - self._fmv(x)
-        z = self.dinv * r
-        p = z
-        rz = r @ z
-
-        def body(_, st):
-            x, r, p, rz = st
-            Ap = self._fmv(p)
-            pAp = p @ Ap
-            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = self.dinv * r
-            rz_n = r @ z
-            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
-            return (x, r, z + beta * p, rz_n)
-
-        x, _, _, _ = lax.fori_loop(0, niter or self.ncg, body,
-                                   (x, r, p, rz))
-        return x
+        return jacobi_pcg(self._fmv, self.dinv, b, niter or self.ncg,
+                          x0=x0)
 
     def _jtmv(self, q):
         if self.Jop is not None:

@@ -1,0 +1,84 @@
+"""Level-4 capacity mode: CNAB on the reference's largest bundled mesh
+(karman2D-rotcyl lvl4, ~150k dofs) with the dense Schur factors
+ROW-SHARDED over the 8-device mesh.
+
+This is the single-chip boundary of the dense-factor design
+(docs/ROADMAP.md: X alone is 9.3 GB f32 — HBM RESOURCE_EXHAUSTED on one
+v5e chip); sharding X's rows (and the S^{-1} rows) divides that by the
+device count.  Numerical exactness of the sharded execution is asserted
+at lvl1 in tests/test_parallel.py (sharded == replicated to 1e-12); here
+the factors are seeded with the cheap one-Jacobi-sweep approximation
+``X ~= D_F^{-1} J^T`` — exact seeding takes ~25 min of single-core splu
+backsolves (measured), which the capacity/memory validation does not
+need.  Gated behind DNS_TPU_HEAVY like the omega* regression (the
+problem build + 9 GB factor allocation take ~2 min and ~12 GB RAM).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("DNS_TPU_HEAVY"),
+    reason="lvl4 capacity run: ~2 min + ~12 GB RAM (set DNS_TPU_HEAVY=1)")
+
+MESHDIR = "/root/reference/tests/mesh"
+
+
+def test_lvl4_sharded_capacity():
+    import scipy.sparse as sps
+
+    from dolfin_navier_scipy_tpu.models import get_sysmats
+    from dolfin_navier_scipy_tpu.parallel.domain import make_mesh
+    from dolfin_navier_scipy_tpu.parallel.spatial import (
+        make_sharded_cnab_step)
+
+    femp, _, _ = get_sysmats(
+        problem="gen_bccont", Re=40, scheme="TH", mergerhs=True,
+        meshparams=dict(
+            strtomeshfile=f"{MESHDIR}/karman2D-rotcyl_lvl4.xml.gz",
+            strtophysicalregions=(
+                f"{MESHDIR}/karman2D-rotcyl_lvl4_facet_region.xml.gz"),
+            strtobcsobs=f"{MESHDIR}/karman2D-rotcyl-bm_geo_cntrlbc.json"))
+    prob = femp["problem"]
+    nv, npp = len(prob.invinds), prob.np_cond
+    assert nv + npp > 140_000          # the lvl4 scale the VERDICT names
+
+    dt = 2.5e-4
+    F = sps.csc_matrix(prob.Mc + 0.5 * dt * prob.Ac)
+    dinv = 1.0 / F.diagonal()
+    # one-Jacobi-sweep factor seed (see module docstring)
+    X = np.asarray(
+        sps.diags(dinv) @ sps.csc_matrix(prob.JTc).astype(np.float32)
+        .todense(), np.float32)
+    S = sps.csr_matrix(prob.Jc) @ sps.csr_matrix(X)
+    sdiag = np.maximum(np.asarray(S.diagonal()), 1e-12)
+    Sinv = np.zeros((npp, npp), np.float32)
+    np.fill_diagonal(Sinv, 1.0 / sdiag)
+
+    mesh = make_mesh(8, axes=("elem",))
+    step, bundle = make_sharded_cnab_step(
+        prob, dt, mesh, factors=(X, Sinv, dinv, 25))
+    solver = bundle["solver"]
+
+    # capacity bookkeeping: every device holds exactly 1/8 of each factor
+    for arr in (solver.X_sh, solver.Sinv_sh):
+        assert len(arr.sharding.device_set) == 8
+        rows = {s.data.shape[0] for s in arr.addressable_shards}
+        assert rows == {arr.shape[0] // 8}, rows
+    per_dev_gb = (solver.X_sh.nbytes + solver.Sinv_sh.nbytes) / 8 / 2**30
+    total_gb = (solver.X_sh.nbytes + solver.Sinv_sh.nbytes) / 2**30
+    assert total_gb > 8.0              # would not fit one v5e chip
+    assert per_dev_gb < 2.0            # fits comfortably when sharded
+
+    @jax.jit
+    def run(b, v0, nfc0):
+        return jax.lax.scan(lambda c, _: (step(b, c), None),
+                            (v0, nfc0), None, length=3)[0]
+
+    v, _ = run(bundle, jnp.zeros((nv,)), jnp.zeros((nv,)))
+    assert np.isfinite(np.asarray(v)).all()

@@ -153,6 +153,31 @@ def test_schur_solver_matches_dense(cavity):
     assert rel < 1e-9, rel
 
 
+def test_schur_device_setup_matches_host(cavity):
+    """The accelerator-built Schur factors (blocked Jacobi-PCG X, device
+    S inverse) agree with the splu-seeded host path: X to the f32 floor,
+    solves to the device-Sinv quality (~1e-5)."""
+    import scipy.sparse as sps
+
+    from dolfin_navier_scipy_tpu.solve.sadpnt import SchurSaddleSolver
+
+    prob, _ = cavity
+    dt = 1e-3
+    F = sps.csr_matrix(prob.Mc + 0.5 * dt * prob.Ac)
+    host = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc,
+                             setup="host")
+    dev = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc,
+                            setup="device")
+    xrel = float(jnp.abs(dev.X - host.X).max() / jnp.abs(host.X).max())
+    assert xrel < 1e-5, xrel
+    rng = np.random.default_rng(3)
+    bv = jnp.asarray(rng.standard_normal(F.shape[0]), jnp.float32)
+    bp = jnp.asarray(rng.standard_normal(prob.Jc.shape[0]), jnp.float32)
+    xh, xd = host.solve(bv, bp), dev.solve(bv, bp)
+    rel = float(jnp.abs(xh - xd).max() / jnp.abs(xh).max())
+    assert rel < 1e-3, rel
+
+
 def test_increment_form_is_divergence_free(cavity):
     """The delta-form solves keep J v = fp to solver precision without
     ever evaluating J v in full precision (div-free induction)."""
