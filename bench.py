@@ -128,10 +128,16 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
                    + jnp.float32(dt) * b["fv"])
             rp = (b["fp"] - gp).astype(jnp.float32)
             if schur_full:
-                ysol = carry[3]
-                sol, y_n = b["slv"].solve_warm(rhs, rp, ysol)
+                from dolfin_navier_scipy_tpu.solve.timeint import (
+                    _NITER_WARM,
+                )
+
+                ysol, ysol_p = carry[3], carry[4]
+                sol, y_n = b["slv"].solve_warm(rhs, rp,
+                                               2.0 * ysol - ysol_p,
+                                               niter=_NITER_WARM)
                 return (vf + sol[:nf].astype(vf.dtype), nfc_c, b["fp"],
-                        y_n), None
+                        y_n, ysol), None
             sol = b["Zp"] @ jnp.concatenate([rhs, rp])
             return (vf + sol[:nf].astype(vf.dtype), nfc_c, b["fp"]), None
 
@@ -140,17 +146,28 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
             nfc0 = (-b["kern"].vector(s0)).astype(jnp.float32)
             c0 = (s0, nfc0, gp0)
             if schur_full:
-                c0 = c0 + (jnp.zeros((nf,), wd),)
+                c0 = c0 + (jnp.zeros((nf,), wd), jnp.zeros((nf,), wd))
             out, _ = lax.scan(lambda c, x: step(b, c, x),
                               c0, None, length=n)
             return out[0]
 
+        # phantom/order-effect hardening: 3 timed runs with DISTINCT
+        # perturbations; outputs must differ pairwise (defeats the axon
+        # result cache) and the MEDIAN timing is reported (successive
+        # runs in one process have shown 2-4x order-dependent drift —
+        # docs/PERF_NOTES.md section 5)
         run(bundle, state0, gp0, nsteps).block_until_ready()
-        t0 = time.perf_counter()
-        vf = run(bundle, state0 + jnp.asarray(1e-13, cdtype), gp0, nsteps)
-        vf.block_until_ready()
-        el = time.perf_counter() - t0
-        v = np.asarray(vf)[prob.invinds]
+        els, vals = [], []
+        for k in (1, 2, 3):
+            t0 = time.perf_counter()
+            vf = run(bundle, state0 + jnp.asarray(k * 1e-13, cdtype),
+                     gp0, nsteps)
+            vf.block_until_ready()
+            els.append(time.perf_counter() - t0)
+            vals.append(np.asarray(vf))
+        assert not np.array_equal(vals[0], vals[1]), "axon result cache!"
+        el = float(np.median(els))
+        v = vals[-1][prob.invinds]
         assert np.isfinite(v).all()
         return nsteps / el, v, ops
 
@@ -187,12 +204,17 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
 
     v0j = jnp.asarray(v0, cdtype)
     run(bundle, v0j, gp0, nsteps).block_until_ready()
-    t0 = time.perf_counter()
-    v = run(bundle, v0j + jnp.asarray(1e-13, cdtype), gp0, nsteps)
-    v.block_until_ready()
-    el = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(v)).all()
-    return nsteps / el, np.asarray(v), ops
+    els, vals = [], []
+    for k in (1, 2, 3):
+        t0 = time.perf_counter()
+        v = run(bundle, v0j + jnp.asarray(k * 1e-13, cdtype), gp0, nsteps)
+        v.block_until_ready()
+        els.append(time.perf_counter() - t0)
+        vals.append(np.asarray(v))
+    assert not np.array_equal(vals[0], vals[1]), "axon result cache!"
+    el = float(np.median(els))
+    assert np.isfinite(vals[-1]).all()
+    return nsteps / el, vals[-1], ops
 
 
 def baseline_loop(prob, dt, nsteps=60, v0=None, return_v=False):

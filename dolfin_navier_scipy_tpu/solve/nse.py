@@ -255,7 +255,7 @@ def solve_nse(
             lin_vel_point=lin_vel_point, stokes_flow=stokes_flow,
             vel_nwtn_stps=vel_nwtn_stps, vel_nwtn_tol=vel_nwtn_tol,
             vel_pcrd_stps=vel_pcrd_stps, umat=umat, vmat=vmat,
-            fv_extra=fv_extra,
+            fv_extra=fv_extra, linsolver=linsolver,
             controls=controls, save_every=save_every, verbose=verbose, **kw)
 
     if krylov:

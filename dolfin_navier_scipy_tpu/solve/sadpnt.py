@@ -739,14 +739,16 @@ class SchurSaddleSolver:
         # of the cold count holds the same tolerance in practice
         return max(6, (2 * self.ncg) // 3)
 
-    def solve_warm(self, rhsv, rhsp, y0):
+    def solve_warm(self, rhsv, rhsp, y0, niter=None):
         """Warm-started variant for time stepping: pass the previous
         step's velocity-block solve ``y`` (returned as the third field)
-        — consecutive increment solves differ by O(dt), so the PCG
-        starts near the solution and needs ~2/3 the iterations."""
+        or an extrapolation of the previous two — consecutive increment
+        solves differ by O(dt) (an extrapolated start by O(dt^2)), so
+        the PCG starts near the solution and needs far fewer
+        iterations (``niter`` overrides the 2/3-of-cold default)."""
         bv = rhsv.reshape(-1).astype(self.dtype)
         bp = rhsp.reshape(-1).astype(self.dtype)
-        y = self._fsolve(bv, x0=y0, niter=self.ncg_warm)
+        y = self._fsolve(bv, x0=y0, niter=niter or self.ncg_warm)
         q = self._sapply(self._jmv(y) - bp)
         v = y - self.X @ q
         return jnp.concatenate([v, q]), y

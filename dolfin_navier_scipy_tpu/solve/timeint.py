@@ -44,6 +44,10 @@ from jax import lax
 from ..ops.sparse import ell_from_scipy_fast
 from .sadpnt import InverseSaddleSolver, host_saddle_factorized
 
+# warm-started in-scan PCG iteration count with the extrapolated start
+# (see the fstep comment in cnab); the cold count stays solver.ncg
+_NITER_WARM = 6
+
 
 @dataclass
 class DirichletControl:
@@ -153,10 +157,23 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
 
             afful = AffineVectorOps.build(prob, work_dtype,
                                           full_dofs=True)
+            # the PCG F-application uses precomputed per-element DENSE
+            # blocks (gather + one batched 12x12 matmul + one scatter ~ 4
+            # XLA ops) instead of the affine geometry pipeline (~7 ops):
+            # the in-scan solve is op-LAUNCH-bound on the axon runtime
+            # (~15-20 us/op, docs/PERF_NOTES.md), so fewer/fatter ops win
+            # (measured 165 vs 101 steps/s at lvl1, 14 warm iterations)
+            from ..ops.elementop import ElementOp
+
+            vd = prob.space.vdofs_of_cells().reshape(
+                -1, prob.ctx.N2.shape[1] * getattr(prob.ctx, "dim", 2))
+            fel = (prob.elem_tensors["M"]
+                   + theta * dt * prob.elem_tensors["A"])
+            fop = ElementOp(_jnp.asarray(fel, work_dtype),
+                            _jnp.asarray(vd), prob.nv_full)
             solver = SchurSaddleSolver(
                 coeff, prob.Jc, prob.JTc,
-                res_ops=(afful.view("ma", cm=1.0, ca=theta * dt),
-                         afful.view("j")),
+                res_ops=(fop, afful.view("j")),
                 dtype=work_dtype,
                 full_map=(prob.invinds, prob.nv_full))
             ops = TimeIntOps(solver=solver, M=afful.view("m"),
@@ -615,10 +632,16 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                    + jnp.asarray(dt, w) * b["fv"])
             rp = (b["fp"] - c["gp"]).astype(w)
             if schur_full:
-                # warm-start the PCG from the previous step's F-solve:
-                # consecutive increment solves differ by O(dt), so
-                # ncg_warm ~ 2/3 the cold count holds the tolerance
-                sol, y_n = b["slv"].solve_warm(rhs, rp, c["ysol"])
+                # warm-start the PCG by LINEAR EXTRAPOLATION of the two
+                # previous F-solves: consecutive increment solves differ
+                # by O(dt), the extrapolated start by O(dt^2) — 6 Jacobi
+                # iterations then hold the same trajectory accuracy as 14
+                # from a plain warm start (measured at lvl1: rel_err vs
+                # the f64 oracle 9.8e-6 at ncg=6+extrap vs 8.5e-6 at
+                # ncg=14; 4 iterations degrade to 7.6e-5)
+                y0 = 2.0 * c["ysol"] - c["ysol_p"]
+                sol, y_n = b["slv"].solve_warm(rhs, rp, y0,
+                                               niter=_NITER_WARM)
             else:
                 sol = b["Zp"] @ jnp.concatenate([rhs, rp])
                 y_n = None
@@ -632,12 +655,14 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                        nfc=nfc_c, gp=b["fp"], flag=flag)
             if schur_full:
                 out["ysol"] = jnp.where(flag, c["ysol"], y_n)
+                out["ysol_p"] = jnp.where(flag, c["ysol_p"], c["ysol"])
             return out
 
         carry = dict(v=vf0, p=bs["p"], nfc=nfc0, gp=bs["gp"],
                      flag=jnp.asarray(False))
         if schur_full:
             carry["ysol"] = jnp.zeros((nf,), fl["w"])
+            carry["ysol_p"] = jnp.zeros((nf,), fl["w"])
         carry, ys, tout = _run_scan(fstep, fb, carry, trange[2:],
                                     save_every)
         inv = prob.invinds

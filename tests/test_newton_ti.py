@@ -129,3 +129,42 @@ def test_newton_ti_dirichlet_control_matches_cnab():
     o_no = cnab(trange=trange, prob=prob, inivel=v0, save_every=None)
     assert (np.linalg.norm(np.asarray(o_se["v"]) - np.asarray(o_no["v"]))
             / np.linalg.norm(np.asarray(o_no["v"]))) > 1e-6
+
+
+import os
+
+
+@pytest.mark.skipif(not os.environ.get("DNS_TPU_HEAVY"),
+                    reason="lvl2 (29.5k dof) implicit run: minutes of "
+                           "single-core Schur seeding (DNS_TPU_HEAVY=1)")
+def test_implicit_schur_preconditioned_lvl2():
+    """The implicit Newton-in-time path past the ~20k-dof dense-solver
+    ceiling: at the 29.5k-dof level-2 mesh the per-step GMRES is
+    preconditioned with the block-Schur Stokes-level solver (VERDICT r2
+    #5; reference semantics stokes_navier_utils.py:1304-1587) and the
+    trajectory matches semi-explicit CNAB at truncation order."""
+    from dolfin_navier_scipy_tpu.models import cylinderwake_problem
+    from dolfin_navier_scipy_tpu.solve.newton_ti import _make_bundle
+    from dolfin_navier_scipy_tpu.solve.sadpnt import solve_sadpnt_host
+
+    prob = cylinderwake_problem(level=2, nu=1e-3, charvel=1.0)   # Re=100
+    assert len(prob.invinds) + prob.np_cond > 25000
+    dt = 2.5e-4
+    b = _make_bundle(prob, dt)
+    assert not hasattr(b["ops"].solver, "Kinv")   # Schur, not dense
+
+    vp = solve_sadpnt_host(amat=prob.Mc + 0.5 * dt * prob.Ac,
+                           jmat=prob.Jc, jmatT=prob.JTc,
+                           rhsv=np.asarray(prob.fv).ravel(),
+                           rhsp=np.asarray(prob.fp).ravel())
+    v0 = vp[: len(prob.invinds), 0]
+    trange = np.linspace(0.0, 16 * dt, 17)
+    o_se = solve_nse(prob=prob, trange=trange, iniv=v0,
+                     save_every=None)
+    o_ti = solve_nse(prob=prob, trange=trange, iniv=v0,
+                     treat_nonl_explicit=False, vel_nwtn_stps=4,
+                     vel_nwtn_tol=1e-11, save_every=None)
+    rel = (np.linalg.norm(np.asarray(o_ti["v"]) - np.asarray(o_se["v"]))
+           / np.linalg.norm(np.asarray(o_se["v"])))
+    assert rel < 2e-4, rel
+    assert o_ti["nwtn_norms"][-1] < 1e-6
