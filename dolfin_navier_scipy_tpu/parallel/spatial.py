@@ -229,16 +229,17 @@ class ShardedSchurSolver:
     Replicated pieces: ``dinv`` (an O(nv) vector) and the rhs/state.
     """
 
-    _leaf_names = ("X_sh", "Sinv_sh", "dinv", "Kop", "Jop")
+    _leaf_names = ("XT_sh", "Sinv_sh", "dinv", "Kop", "Jop")
     _aux_names = ("mesh", "axis", "nv", "np", "ns", "ncg", "dtype")
 
     def __init__(self, base=None, mesh=None, axis="elem",
                  factors=None, _leaves=None, _aux=None):
         """Wrap a built :class:`~..solve.sadpnt.SchurSaddleSolver`
         (``base``; its ``res_ops`` must already be sharded views), or
-        pass ``factors=(X, Sinv, dinv, ncg, Kop, Jop)`` directly (used
-        by the capacity dryrun, where seeding exact factors on a single
-        host core would take an hour)."""
+        pass ``factors=(XT, Sinv, dinv, ncg, Kop, Jop)`` directly —
+        ``XT (np_pad, nv)`` is the solver's transposed factor layout —
+        (used by the capacity dryrun, where seeding exact factors on a
+        single host core would take an hour)."""
         if _leaves is not None:
             for n, v in zip(self._leaf_names, _leaves):
                 setattr(self, n, v)
@@ -246,38 +247,42 @@ class ShardedSchurSolver:
                 setattr(self, n, v)
             return
         if factors is not None:
-            X, Sinv, dinv, ncg, Kop, Jop = factors
+            XT, Sinv, dinv, ncg, Kop, Jop = factors
         else:
-            X, Sinv, dinv, ncg = base.X, base.Sinv, base.dinv, base.ncg
+            XT, Sinv, dinv, ncg = (base.XT, base.Sinv, base.dinv,
+                                   base.ncg)
             Kop, Jop = base.Kop, base.Jop
         self.mesh = mesh
         self.axis = axis
-        self.nv, self.np = X.shape
+        self.nv = XT.shape[1]
+        self.np = Sinv.shape[1]
         self.ns = Sinv.shape[0]
         self.ncg = int(ncg)
-        self.dtype = X.dtype
+        self.dtype = XT.dtype
         self.dinv = jax.device_put(jnp.asarray(dinv),
                                    NamedSharding(mesh, P()))
         self.Kop, self.Jop = Kop, Jop
         ndev = mesh.shape[axis]
 
-        def _shard_rows(A):
+        def _shard(A, ax):
             # host arrays are padded in numpy and device_put SHARDED —
-            # each device receives only its row block, so a factor larger
+            # each device receives only its block, so a factor larger
             # than one chip's HBM never stages on a single device
-            n = A.shape[0]
+            n = A.shape[ax]
             n_pad = ((n + ndev - 1) // ndev) * ndev
-            if isinstance(A, np.ndarray):
-                if n_pad != n:
-                    A = np.concatenate(
-                        [A, np.zeros((n_pad - n, A.shape[1]), A.dtype)])
-            elif n_pad != n:
-                A = jnp.concatenate(
-                    [A, jnp.zeros((n_pad - n, A.shape[1]), A.dtype)])
-            return jax.device_put(A, NamedSharding(mesh, P(axis, None)))
+            if n_pad != n:
+                pshape = list(A.shape)
+                pshape[ax] = n_pad - n
+                xp = np if isinstance(A, np.ndarray) else jnp
+                A = xp.concatenate(
+                    [A, xp.zeros(tuple(pshape), A.dtype)], axis=ax)
+            spec = P(axis, None) if ax == 0 else P(None, axis)
+            return jax.device_put(A, NamedSharding(mesh, spec))
 
-        self.X_sh = _shard_rows(X)
-        self.Sinv_sh = _shard_rows(Sinv)
+        # X^T: the big (velocity) axis is axis 1 -> COLUMN-shard;
+        # S^{-1}: row-shard the stacked hi/lo rows
+        self.XT_sh = _shard(XT, 1)
+        self.Sinv_sh = _shard(Sinv, 0)
 
     def tree_flatten(self):
         return (tuple(getattr(self, n) for n in self._leaf_names),
@@ -316,24 +321,40 @@ class ShardedSchurSolver:
             return q2[: self.np] + q2[self.np:]
         return q2
 
+    def _xapply(self, q):
+        """Column-sharded ``X q = q @ X^T``: one local vecmat per
+        device, output left sharded along the velocity axis."""
+        axis = self.axis
+        npad = self.XT_sh.shape[0]
+        if npad != self.np:
+            q = jnp.zeros((npad,), q.dtype).at[: self.np].set(q)
+
+        def local(XTl, qs):
+            return qs @ XTl
+
+        out = shard_map(local, mesh=self.mesh,
+                        in_specs=(P(None, axis), P()),
+                        out_specs=P(axis))(self.XT_sh, q)
+        return out[: self.nv]
+
     def solve(self, rhsv, rhsp):
         bv = rhsv.reshape(-1).astype(self.dtype)
         bp = rhsp.reshape(-1).astype(self.dtype)
         y = self._fsolve(bv)
         q = self._sapply(self.Jop.matvec(y) - bp)
-        v = y - self._rows_apply(self.X_sh, q, self.nv)
+        v = y - self._xapply(q)
         return jnp.concatenate([v, q])
 
     @property
     def ncg_warm(self):
         return max(6, (2 * self.ncg) // 3)
 
-    def solve_warm(self, rhsv, rhsp, y0):
+    def solve_warm(self, rhsv, rhsp, y0, niter=None):
         bv = rhsv.reshape(-1).astype(self.dtype)
         bp = rhsp.reshape(-1).astype(self.dtype)
-        y = self._fsolve(bv, x0=y0, niter=self.ncg_warm)
+        y = self._fsolve(bv, x0=y0, niter=niter or self.ncg_warm)
         q = self._sapply(self.Jop.matvec(y) - bp)
-        v = y - self._rows_apply(self.X_sh, q, self.nv)
+        v = y - self._xapply(q)
         return jnp.concatenate([v, q]), y
 
 
@@ -368,13 +389,14 @@ def make_sharded_cnab_step(prob, dt, mesh: Mesh, axis: str = "elem",
     skern = ShardedConvKernel(kern, mesh, axis)
     res_ops = (saff.view("ma", cm=1.0, ca=theta * dt), saff.view("j"))
     if factors is not None:
-        # pre-seeded (X, Sinv, dinv, ncg): skip the full solver build —
-        # the lvl4 capacity path, where exact factor seeding costs ~25
-        # min on this single-core host (tests/test_capacity_lvl4.py)
-        X, Sinv, dinv, ncg = factors
+        # pre-seeded (XT, Sinv, dinv, ncg) in the solver's transposed-X
+        # layout: skip the full solver build — the lvl4 capacity path,
+        # where exact factor seeding costs ~25 min on this single-core
+        # host (tests/test_capacity_lvl4.py)
+        XT, Sinv, dinv, ncg = factors
         solver = ShardedSchurSolver(
             mesh=mesh, axis=axis,
-            factors=(X, Sinv, dinv, ncg, res_ops[0], res_ops[1]))
+            factors=(XT, Sinv, dinv, ncg, res_ops[0], res_ops[1]))
     else:
         coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
         solver = SchurSaddleSolver(

@@ -149,14 +149,15 @@ def solve_sadpnt(amat=None, jmat=None, jmatT=None, rhsv=None, rhsp=None,
 
 
 def _ns_polish(Keq, Z, iters):
-    """Newton-Schulz iterations ``Z <- Z (2I - Keq Z)`` with exact-f32
+    """Newton-Schulz iterations ``Z <- 2Z - Z (Keq Z)`` with exact-f32
     matmuls (the TPU default matmul precision is bf16-based and would
     DESTROY the correction — measured: 4e-4 -> 0.47 error without the
-    precision override)."""
-    eye2 = 2.0 * jnp.eye(Keq.shape[0], dtype=Keq.dtype)
+    precision override).  Identity-free form: an n^2 dense eye costs
+    0.7 GB at the lvl3 Schur size and tips the build over HBM."""
+    hp = jax.lax.Precision.HIGHEST
     for _ in range(iters):
-        KZ = jnp.matmul(Keq, Z, precision=jax.lax.Precision.HIGHEST)
-        Z = jnp.matmul(Z, eye2 - KZ, precision=jax.lax.Precision.HIGHEST)
+        KZ = jnp.matmul(Keq, Z, precision=hp)
+        Z = 2.0 * Z - jnp.matmul(Z, KZ, precision=hp)
     return Z
 
 
@@ -170,9 +171,38 @@ def _devinv_jit(rows, cols, vals, dinv, iters, n):
     return (Z * dinv[:, None]) * dinv[None, :]
 
 
+# the device f32 LU (LuDecompositionBlock) overflows its scoped VMEM
+# above ~12k rows (measured: OOM at n=13062, 19.1M vs the 16M limit);
+# larger matrices go through a recursive 2x2 block-Schur inversion whose
+# pivot blocks stay under the ceiling (exactness restored by the
+# Newton-Schulz polish afterwards)
+_DEV_LU_MAX = 8192
+
+
+def _inv_blocked(S):
+    n = S.shape[0]
+    if n <= _DEV_LU_MAX:
+        return jnp.linalg.inv(S)
+    k = ((n // 2) // 256) * 256 or n // 2
+    hp = jax.lax.Precision.HIGHEST
+    A, B = S[:k, :k], S[:k, k:]
+    C, D = S[k:, :k], S[k:, k:]
+    Ai = _inv_blocked(A)
+    AiB = jnp.matmul(Ai, B, precision=hp)
+    T = D - jnp.matmul(C, AiB, precision=hp)
+    Ti = _inv_blocked(T)
+    CAi = jnp.matmul(C, Ai, precision=hp)
+    TiCAi = jnp.matmul(Ti, CAi, precision=hp)
+    top = jnp.concatenate(
+        [Ai + jnp.matmul(AiB, TiCAi, precision=hp),
+         -jnp.matmul(AiB, Ti, precision=hp)], axis=1)
+    bot = jnp.concatenate([-TiCAi, Ti], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def _devinv_dense_jit(Seq, dinv, iters):
-    Z = jnp.linalg.inv(Seq)
+    Z = _inv_blocked(Seq)
     Z = _ns_polish(Seq, Z, iters)
     # one MORE Newton-Schulz correction, kept as a SEPARATE low part
     # instead of being rounded into Z: the pair (Z, C) is a double-f32
@@ -180,10 +210,10 @@ def _devinv_dense_jit(Seq, dinv, iters):
     # to ~kappa(S)*1e-7 (representation floor — 6.6e-3 measured at the
     # lvl3 Schur complement); applying hi+lo as two matvecs recovers
     # the next-NS-iterate accuracy at ~zero per-solve cost.
+    # (identity-free: C = Z (I - Seq Z) = Z - Z (Seq Z))
     hp = jax.lax.Precision.HIGHEST
-    E = (jnp.eye(Seq.shape[0], dtype=Seq.dtype)
-         - jnp.matmul(Seq, Z, precision=hp))
-    C = jnp.matmul(Z, E, precision=hp)
+    SZ = jnp.matmul(Seq, Z, precision=hp)
+    C = Z - jnp.matmul(Z, SZ, precision=hp)
     Zu = (Z * dinv[:, None]) * dinv[None, :]
     Cu = (C * dinv[:, None]) * dinv[None, :]
     return Zu, Cu
@@ -253,17 +283,29 @@ def _block_pcg_jit(fc, fv, dinv, B, niter):
     return X
 
 
-def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256):
-    """Build ``X = F^{-1} J^T`` and ``S = J X`` on the accelerator.
+def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256,
+                                out_cols=None, colmap=None):
+    """Build ``X^T = (F^{-1} J^T)^T`` and ``S = J X`` on the accelerator.
 
     Column chunks of ``J^T`` are densified on device from (tiny) triplet
     uploads and solved by :func:`_block_pcg_jit`; ``S``'s chunks come
     from one ELL application of ``J``.  Nothing larger than a chunk ever
-    crosses the host<->device tunnel.  Returns device ``(X, S)`` in f32.
+    crosses the host<->device tunnel, and the chunks are written into a
+    preallocated TRANSPOSED factor with buffer donation — the peak
+    footprint is one X plus one chunk (a concatenate/embed would
+    transiently hold 2x X: 11 GB at lvl3/113k dofs -> OOM).
+
+    ``out_cols``/``colmap``: target column count of ``X^T`` and the
+    inner-row -> column mapping (the full-dof layout's bc zero-padding).
+    Returns device ``(XT (np_pad, out_cols), S (np, np))`` in f32 with
+    ``np_pad`` the chunk-rounded row count (zero tail rows).
     """
     from ..ops.sparse import ell_from_scipy_fast
 
     nv, npp = jT.shape
+    out_cols = out_cols or nv
+    cmap = jnp.asarray(np.arange(nv, dtype=np.int32) if colmap is None
+                       else np.asarray(colmap, np.int32))
     F_ell = ell_from_scipy_fast(F, dtype=jnp.float32)
     J_ell = ell_from_scipy_fast(J, dtype=jnp.float32)
     dinv = jnp.asarray(dinv_np, jnp.float32)
@@ -276,17 +318,25 @@ def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256):
     # — the remote axon compile is minutes, the warm build ~6 s at lvl2
     niter = max(40, int(ncg) + 12)
 
-    @partial(jax.jit, static_argnames=("width", "n"))
-    def chunk_solve(rows, cols, vals, width, n):
+    @partial(jax.jit, static_argnames=("width", "n", "oc"))
+    def chunk_solve(rows, cols, vals, cm, width, n, oc):
         B = jnp.zeros((n, width), jnp.float32).at[rows, cols].add(vals)
         Xc = _block_pcg_jit(F_ell.cols, F_ell.vals, dinv, B, niter)
         Sc = (J_ell.vals[:, :, None] * Xc[J_ell.cols, :]).sum(axis=1)
-        return Xc, Sc
+        XcT = jnp.zeros((width, oc), jnp.float32).at[:, cm].set(Xc.T)
+        return XcT, Sc
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def xt_write(XT, XcT, lo):
+        return jax.lax.dynamic_update_slice(
+            XT, XcT, (lo, jnp.zeros((), lo.dtype)))
+
+    np_pad = ((npp + chunk - 1) // chunk) * chunk
+    XT = jnp.zeros((np_pad, out_cols), jnp.float32)
     # uniform per-chunk triplet padding -> ONE compiled executable
     bounds = np.searchsorted(c_all, np.arange(0, npp + chunk, chunk))
     maxtrip = max(int(np.diff(bounds).max()), 1)
-    X_chunks, S_chunks = [], []
+    S_chunks = []
     for lo in range(0, npp, chunk):
         hi = min(lo + chunk, npp)
         s, e = bounds[lo // chunk], bounds[lo // chunk + 1]
@@ -298,12 +348,16 @@ def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256):
         cols[:nt] = c_all[s:e] - lo
         # padded triplets alias (0, 0) with value 0 -> harmless .add
         vals[:nt] = v_all[s:e]
-        Xc, Sc = chunk_solve(jnp.asarray(rows), jnp.asarray(cols),
-                             jnp.asarray(vals), chunk, nv)
-        X_chunks.append(Xc[:, : hi - lo])
+        XcT, Sc = chunk_solve(jnp.asarray(rows), jnp.asarray(cols),
+                              jnp.asarray(vals), cmap, chunk, nv,
+                              out_cols)
+        if hi < lo + chunk:
+            # zero the tail rows of the last (ragged) chunk
+            mask = (jnp.arange(chunk) < (hi - lo))[:, None]
+            XcT = jnp.where(mask, XcT, jnp.float32(0.0))
+        XT = xt_write(XT, XcT, jnp.int32(lo))
         S_chunks.append(Sc[:, : hi - lo])
-    return (jnp.concatenate(X_chunks, axis=1),
-            jnp.concatenate(S_chunks, axis=1))
+    return XT, jnp.concatenate(S_chunks, axis=1)
 
 
 def _device_f32_inverse(K, ns_iters=2):
@@ -530,7 +584,12 @@ class SchurSaddleSolver:
     not map onto a systolic array.
     """
 
-    _leaf_names = ("X", "Sinv", "dinv", "Kop", "Jop", "F_ell",
+    # the X factor is stored TRANSPOSED (``XT (np_pad, nv)``): the apply
+    # is a row-vector x matrix MXU pass either way, and the transposed
+    # layout lets the device build assemble column chunks in place
+    # (buffer donation) instead of a 2x-X concatenate/embed transient
+    # that exhausts HBM at lvl3 (113k dofs: X alone is 5.5 GB)
+    _leaf_names = ("XT", "Sinv", "dinv", "Kop", "Jop", "F_ell",
                    "J_ell", "JT_ell")
     _aux_names = ("nv", "np", "ncg", "dtype", "refine")
 
@@ -589,30 +648,33 @@ class SchurSaddleSolver:
                      and (nv > 12000 or npp > 1500) else "host")
 
         if setup == "device":
-            X, S = _build_schur_factors_device(F, J, jT, 1.0 / dv,
-                                               self.ncg)
             if full_map is not None:
-                invinds, nv_full = full_map
-                X = (jnp.zeros((nv_full, npp), X.dtype)
-                     .at[jnp.asarray(np.asarray(invinds))].set(X))
-                self.nv = nv_full
-            self.X = X.astype(dtype)
+                self.nv = full_map[1]
+            XT, S = _build_schur_factors_device(
+                F, J, jT, 1.0 / dv, self.ncg,
+                out_cols=self.nv,
+                colmap=None if full_map is None else np.asarray(
+                    full_map[0]))
+            self.XT = XT.astype(dtype)
             hi, lo = _equilibrate_inv_jit(S, 2)
+            del S
             flush = np.float32(1.2e-38)
             hi = jnp.where(jnp.abs(hi) < flush, np.float32(0.0), hi)
             lo = jnp.where(jnp.abs(lo) < flush, np.float32(0.0), lo)
             self.Sinv = jnp.concatenate([hi, lo], axis=0)
+            del hi, lo
         else:
             lu = spsla.splu(F)
             X = lu.solve(np.asarray(jT.todense()))           # (nv, np)
             S = np.asarray(J @ X)                            # (np, np), SPD
             if full_map is not None:
                 invinds, nv_full = full_map
-                Xf = np.zeros((nv_full, npp))
-                Xf[np.asarray(invinds)] = X
-                X = Xf
+                XTf = np.zeros((npp, nv_full))
+                XTf[:, np.asarray(invinds)] = X.T
                 self.nv = nv_full
-            self.X = jnp.asarray(X, dtype)
+                self.XT = jnp.asarray(XTf, dtype)
+            else:
+                self.XT = jnp.asarray(np.ascontiguousarray(X.T), dtype)
             use_device_sinv = npp > 3000 and on_dev
             if use_device_sinv:
                 # single-core host inv(np^3) takes minutes at lvl2+; the
@@ -709,10 +771,17 @@ class SchurSaddleSolver:
             return q2[: self.np] + q2[self.np:]
         return q2
 
+    def _xapply(self, q):
+        """``X @ q`` via the transposed factor (one MXU vecmat)."""
+        npad = self.XT.shape[0]
+        if npad != self.np:
+            q = jnp.zeros((npad,), q.dtype).at[: self.np].set(q)
+        return q @ self.XT
+
     def _base_solve(self, bv, bp):
         y = self._fsolve(bv)
         q = self._sapply(self._jmv(y) - bp)
-        v = y - self.X @ q
+        v = y - self._xapply(q)
         return v, q
 
     def solve(self, rhsv, rhsp):
@@ -750,7 +819,7 @@ class SchurSaddleSolver:
         bp = rhsp.reshape(-1).astype(self.dtype)
         y = self._fsolve(bv, x0=y0, niter=niter or self.ncg_warm)
         q = self._sapply(self._jmv(y) - bp)
-        v = y - self.X @ q
+        v = y - self._xapply(q)
         return jnp.concatenate([v, q]), y
 
 

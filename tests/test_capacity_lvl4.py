@@ -51,27 +51,32 @@ def test_lvl4_sharded_capacity():
     dt = 2.5e-4
     F = sps.csc_matrix(prob.Mc + 0.5 * dt * prob.Ac)
     dinv = 1.0 / F.diagonal()
-    # one-Jacobi-sweep factor seed (see module docstring)
-    X = np.asarray(
-        sps.diags(dinv) @ sps.csc_matrix(prob.JTc).astype(np.float32)
+    # one-Jacobi-sweep factor seed, built directly in the solver's
+    # transposed layout X^T ~= (D_F^{-1} J^T)^T = J D_F^{-1}
+    XT = np.asarray(
+        (sps.csr_matrix(prob.Jc) @ sps.diags(dinv)).astype(np.float32)
         .todense(), np.float32)
-    S = sps.csr_matrix(prob.Jc) @ sps.csr_matrix(X)
+    S = sps.csr_matrix(prob.Jc) @ sps.csr_matrix(XT.T)
     sdiag = np.maximum(np.asarray(S.diagonal()), 1e-12)
     Sinv = np.zeros((npp, npp), np.float32)
     np.fill_diagonal(Sinv, 1.0 / sdiag)
 
     mesh = make_mesh(8, axes=("elem",))
     step, bundle = make_sharded_cnab_step(
-        prob, dt, mesh, factors=(X, Sinv, dinv, 25))
+        prob, dt, mesh, factors=(XT, Sinv, dinv, 25))
     solver = bundle["solver"]
 
-    # capacity bookkeeping: every device holds exactly 1/8 of each factor
-    for arr in (solver.X_sh, solver.Sinv_sh):
-        assert len(arr.sharding.device_set) == 8
-        rows = {s.data.shape[0] for s in arr.addressable_shards}
-        assert rows == {arr.shape[0] // 8}, rows
-    per_dev_gb = (solver.X_sh.nbytes + solver.Sinv_sh.nbytes) / 8 / 2**30
-    total_gb = (solver.X_sh.nbytes + solver.Sinv_sh.nbytes) / 2**30
+    # capacity bookkeeping: every device holds exactly 1/8 of each
+    # factor (X^T split along its big velocity-column axis, S^{-1}
+    # along its rows)
+    assert len(solver.XT_sh.sharding.device_set) == 8
+    cols = {s.data.shape[1] for s in solver.XT_sh.addressable_shards}
+    assert cols == {solver.XT_sh.shape[1] // 8}, cols
+    assert len(solver.Sinv_sh.sharding.device_set) == 8
+    rows = {s.data.shape[0] for s in solver.Sinv_sh.addressable_shards}
+    assert rows == {solver.Sinv_sh.shape[0] // 8}, rows
+    per_dev_gb = (solver.XT_sh.nbytes + solver.Sinv_sh.nbytes) / 8 / 2**30
+    total_gb = (solver.XT_sh.nbytes + solver.Sinv_sh.nbytes) / 2**30
     assert total_gb > 8.0              # would not fit one v5e chip
     assert per_dev_gb < 2.0            # fits comfortably when sharded
 

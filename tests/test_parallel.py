@@ -182,10 +182,11 @@ def test_sharded_schur_factors_match_replicated():
                                            shard_factors=True)
     assert isinstance(bun_s["solver"], ShardedSchurSolver)
     # the sharded solver holds 1/ndev of each dense factor per device
-    xsh = bun_s["solver"].X_sh
+    # (X^T is split along its big velocity-column axis)
+    xsh = bun_s["solver"].XT_sh
     assert len(xsh.sharding.device_set) == 8
-    shard_rows = {s.data.shape[0] for s in xsh.addressable_shards}
-    assert shard_rows == {xsh.shape[0] // 8}
+    shard_cols = {s.data.shape[1] for s in xsh.addressable_shards}
+    assert shard_cols == {xsh.shape[1] // 8}
 
     kern = prob.conv_kernel
     nfc0 = -kern.vector(jnp.asarray(prob.embed(v0)))[

@@ -168,8 +168,12 @@ def test_schur_device_setup_matches_host(cavity):
                              setup="host")
     dev = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc,
                             setup="device")
-    xrel = float(jnp.abs(dev.X - host.X).max() / jnp.abs(host.X).max())
+    npp = host.np
+    xrel = float(jnp.abs(dev.XT[:npp] - host.XT[:npp]).max()
+                 / jnp.abs(host.XT).max())
     assert xrel < 1e-5, xrel
+    # the device build's chunk-rounded tail rows are exactly zero
+    assert float(jnp.abs(dev.XT[npp:]).max()) == 0.0
     rng = np.random.default_rng(3)
     bv = jnp.asarray(rng.standard_normal(F.shape[0]), jnp.float32)
     bp = jnp.asarray(rng.standard_normal(prob.Jc.shape[0]), jnp.float32)
