@@ -31,6 +31,7 @@ Sign conventions: ``nfc = -N(v)v`` goes to the rhs with plus signs
 the raw saddle pressure is rescaled ``p = -q/dt`` (time_int_utils.py:137).
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, List, Optional
@@ -255,13 +256,32 @@ def build_full_layout(prob, dt, ops):
     ix = jnp.concatenate([jnp.asarray(prob.invinds),
                           nf + jnp.arange(npp)])
     zdt = ops.solver.Kinv.dtype
-    Zp = jnp.zeros((nf + npp, nf + npp), zdt)
-    Zp = Zp.at[ix[:, None], ix[None, :]].set(ops.solver.Kinv)
+    # Pallas inverse apply (opt-in via DNS_TPU_PALLAS=1): measured
+    # IN-SCAN at lvl1 the XLA dot wins (503 us vs 542 us best-tile
+    # Pallas — the 1024-granular zero padding costs more than the
+    # streaming-bandwidth edge; docs/PERF_NOTES.md round-3 table), so
+    # XLA stays the default; the Pallas path remains for experiments
+    use_pallas = (os.environ.get("DNS_TPU_PALLAS", "0") == "1"
+                  and zdt == jnp.float32
+                  and jax.default_backend() not in ("cpu",))
+    n_all = nf + npp
+    if use_pallas:
+        n_pad = ((n_all + 1023) // 1024) * 1024
+        ZpT = jnp.zeros((n_pad, n_pad), jnp.float32)
+        # Zp^T scattered directly: (Kinv^T)[ix, ix] blocks
+        ZpT = ZpT.at[ix[:, None], ix[None, :]].set(ops.solver.Kinv.T)
+        Zp = None
+    else:
+        n_pad = 0
+        ZpT = None
+        Zp = jnp.zeros((n_all, n_all), zdt)
+        Zp = Zp.at[ix[:, None], ix[None, :]].set(ops.solver.Kinv)
     fvbc = -np.asarray(prob.full["A"]
                        @ prob.bc_full_vec()).ravel()[prob.invinds]
     fvf = np.zeros(nf)
     fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
-    out = dict(aff=aff, Zp=Zp, fv=jnp.asarray(fvf, w),
+    out = dict(aff=aff, Zp=Zp, ZpT=ZpT, n_pad=n_pad,
+               fv=jnp.asarray(fvf, w),
                nf=nf, npp=npp, w=w, nu=float(prob.nu),
                sym=bool(getattr(prob, "gradvsymmtrc", True)))
     cache[key] = out
@@ -605,8 +625,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         nf = fl["nf"]
         kern_w = (_kern(prob, "fast") if fl["w"] == jnp.float32
                   else _kern(prob, "accurate"))
-        fb = dict(aff=fl["aff"], Zp=fl["Zp"], slv=ops.solver,
-                  fv=fl["fv"], kern=kern_w,
+        fb = dict(aff=fl["aff"], Zp=fl["Zp"], ZpT=fl.get("ZpT"),
+                  slv=ops.solver, fv=fl["fv"], kern=kern_w,
                   fp=jnp.asarray(np.asarray(prob.fp).ravel()))
         vf0 = np.asarray(prob.bc_full_vec()).copy()
         vf0[prob.invinds] = np.asarray(bs["v"])
@@ -642,6 +662,16 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                 y0 = 2.0 * c["ysol"] - c["ysol_p"]
                 sol, y_n = b["slv"].solve_warm(rhs, rp, y0,
                                                niter=_NITER_WARM)
+            elif fl.get("ZpT") is not None:
+                # Pallas tiled vecmat on the padded transposed inverse
+                # (531 vs 346 GB/s for the XLA dot; docs/PERF_NOTES.md)
+                from ..ops.pallas_kernels import vecmat_pallas
+
+                r_all = jnp.concatenate([rhs, rp]).astype(jnp.float32)
+                rpad = jnp.zeros((fl["n_pad"],), jnp.float32)
+                rpad = rpad.at[: nf + fl["npp"]].set(r_all)
+                sol = vecmat_pallas(rpad, b["ZpT"])[: nf + fl["npp"]]
+                y_n = None
             else:
                 sol = b["Zp"] @ jnp.concatenate([rhs, rp])
                 y_n = None

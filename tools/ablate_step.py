@@ -82,6 +82,11 @@ def main():
     if lin == "dense":
         fl = build_full_layout(prob, dt, ops)
         Zp = fl["Zp"]
+        if Zp is None and fl.get("ZpT") is not None:
+            # Pallas default layout: reconstruct the XLA-form Zp for the
+            # comparison bodies; keep the padded transpose for Pallas
+            n_all_f = nf + npp
+            Zp = fl["ZpT"][:n_all_f, :n_all_f].T
         aff = fl["aff"]
         fv = fl["fv"]
     else:
@@ -99,6 +104,8 @@ def main():
     v0 = jnp.asarray(np.asarray(prob.bc_full_vec()).ravel(), jnp.float32)
     consts = dict(kern=kern, aff=aff, Zp=Zp, fv=fv, fp=fp,
                   slv=getattr(ops, "solver", None))
+    if lin == "dense" and fl.get("ZpT") is not None:
+        consts["ZpT"] = fl["ZpT"]
     w = jnp.float32
     results = []
     print(f"level {args.level}: nv_full={nf} np={npp} lin={lin} "
@@ -219,6 +226,21 @@ def main():
         gb = consts["Zp"].nbytes / 2**30
         print(f"   Zp: {consts['Zp'].shape} = {gb:.3f} GB "
               f"-> HBM floor ~{gb / 0.8 * 1e3:.2f} ms/step at 820 GB/s")
+
+    if consts.get("ZpT") is not None:
+        from dolfin_navier_scipy_tpu.ops.pallas_kernels import vecmat_pallas
+
+        n_pad = int(fl["n_pad"])
+
+        def body7p(b, c):
+            rpad = jnp.zeros((n_pad,), jnp.float32)
+            rpad = rpad.at[: nf + npp].set(
+                jnp.concatenate([c["v"], c["gp"]]))
+            sol = vecmat_pallas(rpad, b["ZpT"])[: nf + npp]
+            return dict(c, v=c["v"] + 1e-9 * sol[:nf])
+
+        timed_scan("7p ZpT Pallas vecmat ONLY", body7p, dict(v=v0, gp=fp),
+                   consts, args.nsteps, results)
 
     # isolated: segment_sum only (constant values, carry-biased)
     def body8(b, c):
