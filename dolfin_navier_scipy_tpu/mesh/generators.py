@@ -54,6 +54,7 @@ def channel_with_cylinder(
     center=(0.2, 0.2),
     radius: float = 0.05,
     control_arcs=None,
+    split_allbdry: bool = False,
 ) -> TriMesh:
     """Body-fitted mesh of the DFG cylinder-wake channel.
 
@@ -132,6 +133,33 @@ def channel_with_cylinder(
     area = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
     keep &= area > 1e-14
     cells = cells[keep]
+
+    if split_allbdry:
+        # Split triangles whose three vertices ALL lie on the domain
+        # boundary (centroid insertion, 1 -> 3).  Extruded to 3D, such a
+        # cell can leave a corner-vertex pressure dof with an entirely
+        # Dirichlet-constrained velocity patch — a zero continuity row
+        # that makes the saddle matrix exactly singular (seen at the
+        # Schaefer-Turek 3D-1Z corner (0,0,0)).  Off by default so the
+        # established 2D benchmark meshes keep their dof counts.
+        btol = 1e-9
+        onb = ((np.abs(pts[:, 0]) < btol)
+               | (np.abs(pts[:, 0] - length) < btol)
+               | (np.abs(pts[:, 1]) < btol)
+               | (np.abs(pts[:, 1] - height) < btol)
+               | (np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
+                  < radius * (1 + 1e-6)))
+        bad = onb[cells].all(axis=1)
+        if bad.any():
+            cents = pts[cells[bad]].mean(axis=1)
+            new0 = len(pts)
+            pts = np.concatenate([pts, cents], axis=0)
+            sub = []
+            for k, t in enumerate(cells[bad]):
+                c = new0 + k
+                sub += [[t[0], t[1], c], [t[1], t[2], c], [t[2], t[0], c]]
+            cells = np.concatenate(
+                [cells[~bad], np.asarray(sub, dtype=np.int64)], axis=0)
 
     mesh = TriMesh(pts, cells)
     edges, _, _ = mesh.boundary_edges()

@@ -46,6 +46,8 @@ def cylinderwake3d_problem(
     paraboloid_inflow=False,
     zslip=True,
     mesh=None,
+    length=2.2,
+    center=(0.2, 0.2),
 ):
     """Extruded DFG cylinder wake on tets.
 
@@ -58,7 +60,11 @@ def cylinderwake3d_problem(
     (1 inflow, 2 outflow, 3/4 side walls, 5 cylinder, 8/9 z-walls).
     """
     if mesh is None:
-        mesh2d = channel_with_cylinder(level=level)
+        # the Schaefer-Turek 3D-Z geometry is length=2.5,
+        # center=(0.5, 0.2) (the default 2.2/(0.2, 0.2) extrudes the 2D
+        # benchmark channel, the reference's cyl3D configuration)
+        mesh2d = channel_with_cylinder(level=level, length=length,
+                                       center=center, split_allbdry=True)
         mesh = extrude_trimesh(mesh2d, nz=nz, height=height_z,
                                ztags=(ZWALL_BOT, ZWALL_TOP))
     geo = GeoSetup(

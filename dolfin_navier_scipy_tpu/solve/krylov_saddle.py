@@ -99,6 +99,19 @@ class KrylovSaddleSolver:
             solve_method="batched")
         return x
 
+    def residual(self, rhsv, rhsp, x):
+        """Relative true residual ``|b - K x| / |b|`` of a returned
+        solution — jit/scan-safe (one extra matvec), the in-scan
+        convergence telemetry the fixed ``maxiter`` otherwise hides."""
+        rhs = jnp.concatenate([rhsv.reshape(-1), rhsp.reshape(-1)])
+        r = rhs - self._matvec(x)
+        return jnp.linalg.norm(r) / jnp.linalg.norm(rhs)
+
+    def solve_res(self, rhsv, rhsp, x0=None):
+        """``(x, relres)`` — solve plus the true-residual telemetry."""
+        x = self.solve(rhsv, rhsp, x0=x0)
+        return x, self.residual(rhsv, rhsp, x)
+
 
 def build_krylov_ops(prob, dt, theta=0.5, tol=1e-8, restart=20, maxiter=4,
                      dtype=None):
