@@ -1,6 +1,16 @@
 """Scale-out: sharded operators and ensemble (batched) simulation.
 
 The reference is strictly serial (SURVEY.md section 2.10); these are the
-TPU-native equivalents: dof-sharded SpMV over an ICI mesh and vmap/pjit
-ensembles over parameter sweeps.
+TPU-native equivalents: element-sharded operators (replicated state +
+one psum), halo-exchange band-partitioned operators (O(bandwidth)
+ppermutes), dof-sharded SpMV over an ICI mesh, row-sharded Schur
+factors (capacity mode), and vmap/pjit ensembles over parameter sweeps.
 """
+
+from .halo import HaloAffineOps                              # noqa: F401
+from .spatial import (                                       # noqa: F401
+    ShardedAffineOps,
+    ShardedConvKernel,
+    ShardedSchurSolver,
+    make_sharded_cnab_step,
+)

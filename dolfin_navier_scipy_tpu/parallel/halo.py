@@ -1,0 +1,396 @@
+"""Halo-exchange domain decomposition: O(interface) collectives.
+
+The element-sharded operators in :mod:`.spatial` replicate the state and
+``psum`` the output — one O(n) collective per application.  That is the
+right trade at FEM sizes (KBs of state), but for very large meshes the
+collective should move only the *interface* values.  This module
+implements that variant:
+
+* velocity dofs are **band-reordered** (reverse Cuthill-McKee on the
+  element incidence graph) and partitioned into ``ndev`` contiguous
+  blocks; elements go to the device owning their smallest dof,
+* each device keeps only its dof block; one application exchanges a
+  **halo** of ``h`` values with its grid neighbours (``h`` = the RCM
+  bandwidth, measured from the actual element tables at build time and
+  asserted to fit a single-hop exchange), computes its elements locally
+  (the same affine-factorized pipeline as single-chip — the local block
+  is an :class:`~..ops.affine.AffineVectorOps` over window-local
+  indices), and returns halo contributions to the neighbours,
+* per application: 2x ``ppermute`` of ``h`` values in, 2x ``ppermute``
+  of ``h`` values out — O(bandwidth), not O(n); dot products in the
+  PCG reduce scalars.
+
+Pressure dofs get the same treatment with ownership by the smallest
+owner of any incident element (per-device padded blocks, so shard sizes
+stay equal without renumbering drift).
+
+The reference is strictly serial (SURVEY.md section 2.10); no
+counterpart exists there.  Layout helpers: vectors live in the PERMUTED
+device-sharded layout inside solver loops (``to_perm``/``from_perm``
+translate at the boundaries — O(n) local gathers, no collectives).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.affine import AffineVectorOps
+
+
+def _rcm_perm(vdofs, nin):
+    """new[old] index map from RCM over the element incidence graph."""
+    import scipy.sparse as sps
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    vd = np.asarray(vdofs)
+    real = vd < nin
+    # adjacency: ALL dof pairs sharing an element — nc*nd^2 entries
+    # (8.6M at the 61k-dof lvl3 mesh: fine on host, and the element
+    # spread we must bound IS the pairwise bandwidth, so a sparser
+    # surrogate graph gives RCM the wrong objective)
+    nd = vd.shape[1]
+    a = np.repeat(vd[:, :, None], nd, axis=2)
+    m = real[:, :, None] & real[:, None, :]
+    rows = a[m]
+    cols = np.swapaxes(a, 1, 2)[m]
+    A = sps.coo_matrix(
+        (np.ones(2 * len(rows)),
+         (np.concatenate([rows, cols]), np.concatenate([cols, rows]))),
+        shape=(nin, nin)).tocsr()
+    order = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    new = np.empty(nin, dtype=np.int64)
+    new[order] = np.arange(nin, dtype=np.int64)
+    return new
+
+
+def _halo_of(masked_idx, nb):
+    """Required single-sided halo width for block-local index tables
+    (``masked_idx`` has trash entries already zeroed)."""
+    if masked_idx.size == 0:
+        return 0
+    return int(max(0, -masked_idx.min(), masked_idx.max() - nb + 1))
+
+
+@jax.tree_util.register_pytree_node_class
+class HaloAffineOps:
+    """Halo-exchange sharded (M, A, J, J^T) matvecs + a fused PCG.
+
+    ``matvec`` surfaces operate on PERMUTED sharded vectors
+    (``(ndev*nb,)`` velocity / ``(ndev*nbp,)`` pressure, sharded
+    ``P(axis)``); translate with :meth:`to_perm` / :meth:`from_perm`.
+    """
+
+    _aux_names = ("mesh", "axis", "aux_local", "nin", "npc", "nb",
+                  "nbp", "h", "hp", "in_specs")
+
+    def __init__(self, aff=None, mesh=None, axis="elem",
+                 _leaves=None, _aux=None):
+        if _leaves is not None:
+            (self.leaves, self.newv_d, self.newp_d) = _leaves
+            for n, v in zip(self._aux_names, _aux):
+                setattr(self, n, v)
+            return
+        self.mesh = mesh
+        self.axis = axis
+        ndev = mesh.shape[axis]
+        leaves, aux = aff.tree_flatten()
+        names = AffineVectorOps._leaf_names
+        lv = dict(zip(names, [None if x is None else np.asarray(x)
+                              for x in leaves]))
+        auxd = dict(zip(AffineVectorOps._aux_names, aux))
+        nin, npc, blk = auxd["nin"], auxd["npc"], auxd["blk"]
+        self.nin, self.npc = nin, npc
+        vd, pd = lv["vdofs"], lv["pdofs"]
+        nc = vd.shape[0]
+
+        # ---- velocity band partition -----------------------------------
+        newv = _rcm_perm(vd, nin)
+        nb = -(-nin // ndev)
+        self.nb = nb
+        vreal = vd < nin
+        vmapped = np.where(vreal, newv[np.minimum(vd, nin - 1)], 0)
+        lo_e = np.where(vreal.any(1),
+                        np.where(vreal, vmapped, np.iinfo(np.int64).max)
+                        .min(1), 0)
+        dev_e = np.minimum(lo_e // nb, ndev - 1)              # (nc,)
+
+        # ---- pressure ownership + padded blocks ------------------------
+        preal = pd < npc
+        owner_p = np.full(npc, ndev, dtype=np.int64)
+        for k in range(pd.shape[1]):
+            m = preal[:, k]
+            np.minimum.at(owner_p, pd[m, k], dev_e[m])
+        owner_p = np.minimum(owner_p, ndev - 1)
+        order_p = np.lexsort((np.arange(npc), owner_p))
+        counts = np.bincount(owner_p, minlength=ndev)
+        nbp = int(counts.max())
+        self.nbp = nbp
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        newp = np.empty(npc, dtype=np.int64)
+        pos_in_dev = np.arange(npc) - starts[owner_p[order_p]]
+        newp[order_p] = owner_p[order_p] * nbp + pos_in_dev
+
+        # ---- per-device element blocks (padded to equal count) ---------
+        by_dev = [np.where(dev_e == d)[0] for d in range(ndev)]
+        nc_loc = max(1, max(len(ix) for ix in by_dev))
+        nc_loc = -(-nc_loc // blk) * blk
+        sel = np.full((ndev, nc_loc), -1, dtype=np.int64)
+        for d, ix in enumerate(by_dev):
+            sel[d, : len(ix)] = ix
+        dummy = sel < 0
+        sel = np.maximum(sel, 0)
+
+        # window-local index tables + halo widths
+        vmap_full = np.concatenate([newv, [0]])
+        vloc = vmap_full[np.minimum(vd[sel.reshape(-1)], nin)]
+        vloc = vloc.reshape(ndev, nc_loc, -1) - (np.arange(ndev) * nb)[
+            :, None, None]
+        trash_v = vd[sel.reshape(-1)].reshape(ndev, nc_loc, -1) >= nin
+        pmap_full = np.concatenate([newp, [0]])
+        ploc = pmap_full[np.minimum(pd[sel.reshape(-1)], npc)]
+        ploc = ploc.reshape(ndev, nc_loc, -1) - (np.arange(ndev) * nbp)[
+            :, None, None]
+        trash_p = pd[sel.reshape(-1)].reshape(ndev, nc_loc, -1) >= npc
+        trash_p |= dummy[:, :, None]
+        trash_v |= dummy[:, :, None]
+        h = _halo_of(np.where(trash_v, 0, vloc), nb)
+        hp = _halo_of(np.where(trash_p, 0, ploc), nbp)
+        h = max(h, 1)
+        hp = max(hp, 1)
+        if h > nb or hp > nbp:
+            raise ValueError(
+                f"halo exceeds block ({h}>{nb} or {hp}>{nbp}): too many "
+                "devices for this bandwidth — use the replicated/psum "
+                "operators (parallel.spatial) instead")
+        self.h, self.hp = h, hp
+        win_v, win_p = nb + 2 * h, nbp + 2 * hp
+        vloc = np.where(trash_v, win_v, vloc + h)
+        ploc = np.where(trash_p, win_p, ploc + hp)
+
+        # ---- facet elements --------------------------------------------
+        fvd = lv["fac_vdofs"]
+        nfac = fvd.shape[0]
+        if nfac:
+            freal = fvd < nin
+            fmapped = np.where(freal, vmap_full[np.minimum(fvd, nin)], 0)
+            flo = np.where(freal.any(1),
+                           np.where(freal, fmapped,
+                                    np.iinfo(np.int64).max).min(1), 0)
+            fdev = np.minimum(flo // nb, ndev - 1)
+            fby = [np.where(fdev == d)[0] for d in range(ndev)]
+            nf_loc = max(1, max(len(ix) for ix in fby))
+            fsel = np.full((ndev, nf_loc), -1, dtype=np.int64)
+            for d, ix in enumerate(fby):
+                fsel[d, : len(ix)] = ix
+            fdummy = fsel < 0
+            fsel = np.maximum(fsel, 0)
+            floc = vmap_full[np.minimum(fvd[fsel.reshape(-1)], nin)]
+            floc = (floc.reshape(ndev, nf_loc, -1)
+                    - (np.arange(ndev) * nb)[:, None, None])
+            ftrash = (fvd[fsel.reshape(-1)].reshape(ndev, nf_loc, -1)
+                      >= nin) | fdummy[:, :, None]
+            hf = _halo_of(np.where(ftrash, 0, floc), nb)
+            if hf > h:
+                raise ValueError(f"facet halo {hf} > element halo {h}")
+            floc = np.where(ftrash, win_v, floc + h)
+            fac_elem = lv["fac_elem"][fsel.reshape(-1)]
+            fac_elem[fdummy.reshape(-1)] = 0.0
+            fac_elem = fac_elem.reshape((ndev * nf_loc,)
+                                        + lv["fac_elem"].shape[1:])
+            fac_vdofs = floc.reshape(ndev * nf_loc, -1)
+        else:
+            fac_elem = lv["fac_elem"]
+            fac_vdofs = fvd
+
+        # ---- assemble the sharded leaf set -----------------------------
+        def shard_elem(name, arr2d, fill=0.0):
+            a = np.asarray(arr2d)[sel.reshape(-1)]
+            a[dummy.reshape(-1)] = fill
+            return a
+
+        auxd = dict(auxd)
+        auxd["nin"] = win_v
+        auxd["npc"] = win_p
+        auxd["nc"] = nc_loc
+        self.aux_local = tuple(auxd[k] for k in AffineVectorOps._aux_names)
+
+        def put_e(a):
+            a = jnp.asarray(a)
+            return jax.device_put(
+                a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+
+        def put_r(a):
+            return jax.device_put(jnp.asarray(a), NamedSharding(mesh, P()))
+
+        placed = {}
+        self.in_specs = []
+        for n in AffineVectorOps._leaf_names:
+            if lv[n] is None:
+                placed[n] = None
+                self.in_specs.append(None)
+                continue
+            if n == "vdofs":
+                arr = put_e(vloc.reshape(ndev * nc_loc, -1))
+            elif n == "pdofs":
+                arr = put_e(ploc.reshape(ndev * nc_loc, -1))
+            elif n == "fac_vdofs":
+                arr = put_e(fac_vdofs)
+            elif n == "fac_elem":
+                arr = put_e(fac_elem)
+            elif n in ("JinvT", "wdet", "detJ"):
+                arr = put_e(shard_elem(n, lv[n]))
+            else:                                   # constant ref tables
+                arr = put_r(lv[n])
+            placed[n] = arr
+            self.in_specs.append(
+                P(axis, *([None] * (arr.ndim - 1)))
+                if n in ("vdofs", "pdofs", "fac_vdofs", "fac_elem",
+                         "JinvT", "wdet", "detJ") else P())
+        self.leaves = tuple(placed[n] for n in AffineVectorOps._leaf_names)
+        self.in_specs = tuple(self.in_specs)
+
+        # permutation maps as device arrays (replicated; O(n) but local)
+        self.newv_d = put_r(newv)
+        self.newp_d = put_r(newp)
+
+    # -- pytree ----------------------------------------------------------
+    def tree_flatten(self):
+        return ((self.leaves, self.newv_d, self.newp_d),
+                tuple(getattr(self, n) for n in self._aux_names))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(_leaves=children, _aux=aux)
+
+    # -- layout helpers --------------------------------------------------
+    @property
+    def ndev(self):
+        return self.mesh.shape[self.axis]
+
+    def to_perm(self, x, pressure=False):
+        new = self.newp_d if pressure else self.newv_d
+        n_pad = (self.ndev * (self.nbp if pressure else self.nb))
+        out = jnp.zeros((n_pad,), x.dtype).at[new].set(x.reshape(-1))
+        return jax.device_put(
+            out, NamedSharding(self.mesh, P(self.axis)))
+
+    def from_perm(self, xp, pressure=False):
+        new = self.newp_d if pressure else self.newv_d
+        return xp[new]
+
+    # -- halo plumbing (inside shard_map) --------------------------------
+    def _win(self, xs, hw):
+        """Local shard -> window (left halo | own | right halo)."""
+        nd, ax = self.ndev, self.axis
+        from_left = lax.ppermute(xs[-hw:], ax,
+                                 [(i, i + 1) for i in range(nd - 1)])
+        from_right = lax.ppermute(xs[:hw], ax,
+                                  [(i + 1, i) for i in range(nd - 1)])
+        return jnp.concatenate([from_left, xs, from_right])
+
+    def _unwin(self, ow, hw, nb):
+        """Window-sized accumulation -> owned shard (+ neighbour tails)."""
+        nd, ax = self.ndev, self.axis
+        to_left = lax.ppermute(ow[:hw], ax,
+                               [(i + 1, i) for i in range(nd - 1)])
+        to_right = lax.ppermute(ow[hw + nb: hw + nb + hw], ax,
+                                [(i, i + 1) for i in range(nd - 1)])
+        own = ow[hw: hw + nb]
+        own = own.at[-hw:].add(to_left)
+        own = own.at[:hw].add(to_right)
+        return own
+
+    def _apply(self, kind, cm, ca, x, in_p=False, out_p=False):
+        aux_local = self.aux_local
+        h, hp, nb, nbp = self.h, self.hp, self.nb, self.nbp
+        hin, hout = (hp if in_p else h), (hp if out_p else h)
+        nbo = nbp if out_p else nb
+
+        def local(*args):
+            lvs, xs = args[:-1], args[-1]
+            la = AffineVectorOps.tree_unflatten(aux_local, lvs)
+            xw = self._win(xs, hin)
+            if kind == "ma":
+                yw = la.ma_matvec(xw, cm, ca)
+            elif kind == "m":
+                yw = la.m_matvec(xw)
+            elif kind == "j":
+                yw = la.j_matvec(xw)
+            else:
+                yw = la.jt_matvec(xw)
+            return self._unwin(yw, hout, nbo)
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=self.in_specs + (P(self.axis),),
+            out_specs=P(self.axis),
+        )(*self.leaves, x)
+
+    # -- matvec surface (PERMUTED sharded vectors) -----------------------
+    def m_matvec(self, x):
+        return self._apply("m", 1.0, 0.0, x)
+
+    def a_matvec(self, x):
+        return self._apply("ma", 0.0, 1.0, x)
+
+    def ma_matvec(self, x, cm, ca):
+        return self._apply("ma", cm, ca, x)
+
+    def j_matvec(self, x):
+        return self._apply("j", 0.0, 0.0, x, out_p=True)
+
+    def jt_matvec(self, q):
+        return self._apply("jt", 0.0, 0.0, q, in_p=True)
+
+    # -- fused PCG F-solve: ONE shard_map around the whole loop ----------
+    def pcg_solve(self, b, dinv, cm, ca, niter):
+        """Jacobi-PCG on ``(cm M + ca A) y = b`` entirely in the sharded
+        layout: per iteration 2 ppermutes of ``h`` values (the operator
+        halo) + 2 scalar ``psum`` — no O(n) collective anywhere.
+
+        ``b``/``dinv`` are permuted sharded vectors; returns the same.
+        """
+        aux_local = self.aux_local
+        h, nb, ax = self.h, self.nb, self.axis
+
+        def local(*args):
+            lvs, bs, ds = args[:-2], args[-2], args[-1]
+            la = AffineVectorOps.tree_unflatten(aux_local, lvs)
+
+            def fmv(xs):
+                yw = la.ma_matvec(self._win(xs, h), cm, ca)
+                return self._unwin(yw, h, nb)
+
+            def dot(u, v):
+                return lax.psum(jnp.dot(u, v), ax)
+
+            x = jnp.zeros_like(bs)
+            r = bs
+            z = ds * r
+            p = z
+            rz = dot(r, z)
+
+            def body(_, st):
+                x, r, p, rz = st
+                ap = fmv(p)
+                alpha = rz / dot(p, ap)
+                x = x + alpha * p
+                r = r - alpha * ap
+                z = ds * r
+                rz_n = dot(r, z)
+                p = z + (rz_n / rz) * p
+                return (x, r, p, rz_n)
+
+            x, _, _, _ = lax.fori_loop(0, niter, body, (x, r, p, rz))
+            return x
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=self.in_specs + (P(ax), P(ax)),
+            out_specs=P(ax),
+            check_rep=False,
+        )(*self.leaves, b, dinv)

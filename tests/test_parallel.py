@@ -204,3 +204,75 @@ def test_sharded_schur_factors_match_replicated():
     rel = (np.linalg.norm(np.asarray(v_shd) - np.asarray(v_rep))
            / np.linalg.norm(np.asarray(v_rep)))
     assert rel < 1e-12, rel
+
+
+@pytest.fixture(scope="module")
+def prob_halo():
+    # the 1D band decomposition needs n/bandwidth >= ndev: the N=8
+    # cavity (450 dofs, RCM bandwidth 107) cannot split 8 ways; N=16
+    # (1922 dofs, bandwidth 131) can
+    return drivencavity_problem(N=16, nu=1e-2)
+
+
+def test_halo_matvecs_match_serial(prob_halo):
+    """Halo-exchange operators (O(bandwidth) ppermutes, no O(n)
+    collective) reproduce the serial affine matvecs to f64 accuracy."""
+    from dolfin_navier_scipy_tpu.parallel.halo import HaloAffineOps
+
+    prob = prob_halo
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("elem",))
+    aff = prob.affine_ops(jnp.float64)
+    halo = HaloAffineOps(aff, mesh)
+    rng = np.random.default_rng(11)
+    nin, npc = len(prob.invinds), prob.np_cond
+    x = jnp.asarray(rng.normal(size=nin))
+    q = jnp.asarray(rng.normal(size=npc))
+    with mesh:
+        xp = halo.to_perm(x)
+        qp = halo.to_perm(q, pressure=True)
+        for kind, ref in [
+            ("m", aff.m_matvec(x)),
+            ("ma", aff.ma_matvec(x, 0.7, 1.3)),
+        ]:
+            got = halo.from_perm(
+                halo.ma_matvec(xp, 0.7, 1.3) if kind == "ma"
+                else halo.m_matvec(xp))
+            assert np.allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-11), kind
+        gj = halo.from_perm(halo.j_matvec(xp), pressure=True)
+        assert np.allclose(np.asarray(gj), np.asarray(aff.j_matvec(x)),
+                           atol=1e-11)
+        gjt = halo.from_perm(halo.jt_matvec(qp))
+        assert np.allclose(np.asarray(gjt), np.asarray(aff.jt_matvec(q)),
+                           atol=1e-11)
+
+
+def test_halo_pcg_solves(prob_halo):
+    """The fused halo PCG (scalar psums + halo ppermutes only) solves
+    the mass-dominated F system to the serial-PCG solution."""
+    import scipy.sparse as sps
+
+    from dolfin_navier_scipy_tpu.parallel.halo import HaloAffineOps
+    from dolfin_navier_scipy_tpu.solve.sadpnt import jacobi_pcg
+
+    prob = prob_halo
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("elem",))
+    aff = prob.affine_ops(jnp.float64)
+    halo = HaloAffineOps(aff, mesh)
+    dt = 1e-2
+    cm, ca = 1.0, 0.5 * dt
+    F = sps.csr_matrix(prob.Mc + ca * prob.Ac)
+    dinv = 1.0 / np.asarray(F.diagonal())
+    rng = np.random.default_rng(7)
+    b = rng.normal(size=F.shape[0])
+    x_ser = np.asarray(jacobi_pcg(
+        lambda v: aff.ma_matvec(v, cm, ca), jnp.asarray(dinv),
+        jnp.asarray(b), 40))
+    with mesh:
+        bp = halo.to_perm(jnp.asarray(b))
+        dp = halo.to_perm(jnp.asarray(dinv))
+        xp = halo.pcg_solve(bp, dp, cm, ca, 40)
+        x_halo = np.asarray(halo.from_perm(xp))
+    assert np.allclose(x_halo, x_ser, atol=1e-10)
