@@ -251,6 +251,8 @@ class ShardedSchurSolver:
         else:
             XT, Sinv, dinv, ncg = (base.XT, base.Sinv, base.dinv,
                                    base.ncg)
+            if isinstance(XT, tuple):      # row-parts (large builds)
+                XT = jnp.concatenate(list(XT), axis=0)
             Kop, Jop = base.Kop, base.Jop
         self.mesh = mesh
         self.axis = axis

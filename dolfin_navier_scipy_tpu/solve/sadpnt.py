@@ -259,7 +259,18 @@ def _block_pcg_jit(fc, fv, dinv, B, niter):
     import jax.lax as lax
 
     def fmv(P):
-        return (fv[:, :, None] * P[fc, :]).sum(axis=1)
+        # K sequential (n, width) gathers, NOT one (n, K, width) gather:
+        # the fused form transiently allocates n*K*width floats — 5 GB
+        # at lvl3 (n=100k, K=49, width=256) — which, on top of the
+        # retained chunk results, exhausted HBM during the factor build
+        def body(k, acc):
+            col = jax.lax.dynamic_index_in_dim(fc, k, axis=1,
+                                               keepdims=False)
+            val = jax.lax.dynamic_index_in_dim(fv, k, axis=1,
+                                               keepdims=False)
+            return acc + val[:, None] * P[col, :]
+
+        return lax.fori_loop(0, fc.shape[1], body, jnp.zeros_like(P))
 
     X = jnp.zeros_like(B)
     R = B
@@ -283,17 +294,71 @@ def _block_pcg_jit(fc, fv, dinv, B, niter):
     return X
 
 
+def _delete_buffers(*arrs):
+    """Eagerly free device buffers (jax.Array.delete); ignore arrays
+    the backend has already invalidated."""
+    for a in arrs:
+        try:
+            a.delete()
+        except Exception:
+            pass
+
+
+def _equilibrate_inv_staged(S, iters=2):
+    """Double-f32 inverse of a device-resident S in SEPARATE jit calls.
+
+    The monolithic :func:`_equilibrate_inv_jit` peaks at ~8 GB of
+    call-local scratch at lvl3 (np=13k: recursive block inversion + NS
+    polish all live in one executable); with the large retained factors
+    (X^T) alive that tipped the 16 GB chip.  Staging bounds each call's
+    working set by the biggest single stage (the block inversion)."""
+    # every eager op's result is RETAINED by the axon runtime (op-by-op
+    # dispatch = one retained buffer per operator) — keep all np^2
+    # expression chains inside single jit calls
+    @jax.jit
+    def _equilibrate(S):
+        d = jnp.sqrt(jnp.max(jnp.abs(S), axis=1))
+        d = jnp.where(d == 0, 1.0, d).astype(jnp.float32)
+        return ((S / d[:, None]) / d[None, :]).astype(jnp.float32), d
+
+    Seq, d = _equilibrate(S)
+    Z0 = jax.jit(_inv_blocked)(Seq)
+    Z = jax.jit(_ns_polish, static_argnames=("iters",))(Seq, Z0,
+                                                        iters=iters)
+
+    @jax.jit
+    def _tail(Seq, Z, d):
+        hp = jax.lax.Precision.HIGHEST
+        SZ = jnp.matmul(Seq, Z, precision=hp)
+        C = Z - jnp.matmul(Z, SZ, precision=hp)
+        dinv = 1.0 / d
+        return ((Z * dinv[:, None]) * dinv[None, :],
+                (C * dinv[:, None]) * dinv[None, :])
+
+    out = _tail(Seq, Z, d)
+    jax.block_until_ready(out)
+    # a python `del` does NOT reclaim HBM here — the runtime keeps call
+    # results alive; explicit buffer deletion does (np^2 each at lvl3)
+    _delete_buffers(Z0, Z, Seq)
+    return out
+
+
 def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256,
-                                out_cols=None, colmap=None):
+                                out_cols=None, colmap=None, want="both"):
     """Build ``X^T = (F^{-1} J^T)^T`` and ``S = J X`` on the accelerator.
 
     Column chunks of ``J^T`` are densified on device from (tiny) triplet
     uploads and solved by :func:`_block_pcg_jit`; ``S``'s chunks come
     from one ELL application of ``J``.  Nothing larger than a chunk ever
-    crosses the host<->device tunnel, and the chunks are written into a
-    preallocated TRANSPOSED factor with buffer donation — the peak
-    footprint is one X plus one chunk (a concatenate/embed would
-    transiently hold 2x X: 11 GB at lvl3/113k dofs -> OOM).
+    crosses the host<->device tunnel.  The TRANSPOSED factor is
+    materialized by ONE concatenate of the chunk rows at the end — peak
+    2x X.  (A donated in-place ``dynamic_update_slice`` accumulator
+    would be 1x in theory, but the axon runtime RETAINS the donated
+    generations — its result cache keeps every call's output alive — so
+    the chunked writes leaked k * X and OOMed at lvl3/113k dofs within
+    ~3 chunks.  2x X fits lvl3 on the 16 GB chip; single-chip lvl4
+    remains out of scope — that is what the row-sharded capacity mode
+    is for, parallel/spatial.py.)
 
     ``out_cols``/``colmap``: target column count of ``X^T`` and the
     inner-row -> column mapping (the full-dof layout's bc zero-padding).
@@ -318,46 +383,123 @@ def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256,
     # — the remote axon compile is minutes, the warm build ~6 s at lvl2
     niter = max(40, int(ncg) + 12)
 
-    @partial(jax.jit, static_argnames=("width", "n", "oc"))
-    def chunk_solve(rows, cols, vals, cm, width, n, oc):
+    # uniform per-chunk triplet padding; the WHOLE chunk sweep runs as
+    # ONE jitted lax.scan: a python loop of per-chunk jit calls leaked
+    # its chunk outputs on the axon runtime (the result cache retains
+    # every call's output buffers — k * X alive -> OOM at lvl3), and
+    # paid the ~0.55 s tunnel dispatch per chunk (52 chunks = ~28 s of
+    # pure dispatch at lvl3).  One call = one retained (XT, S) result.
+    np_pad = ((npp + chunk - 1) // chunk) * chunk
+    nchunks = np_pad // chunk
+    bounds = np.searchsorted(c_all, np.arange(0, np_pad + chunk, chunk))
+    maxtrip = max(int(np.diff(bounds).max()), 1)
+    rows_a = np.zeros((nchunks, maxtrip), np.int32)
+    cols_a = np.zeros((nchunks, maxtrip), np.int32)
+    vals_a = np.zeros((nchunks, maxtrip), np.float32)
+    los_a = np.arange(0, np_pad, chunk, dtype=np.int32)
+    for k, lo in enumerate(los_a):
+        s, e = bounds[k], bounds[k + 1]
+        nt = e - s
+        rows_a[k, :nt] = r_all[s:e]
+        cols_a[k, :nt] = c_all[s:e] - lo
+        # padded triplets alias (0, 0) with value 0 -> harmless .add
+        vals_a[k, :nt] = v_all[s:e]
+
+    # ONE jitted lax.scan where it is known-good (single call, single
+    # retained result, no per-chunk dispatch); at lvl3+ shapes
+    # (nv*np_pad ~ 1.3e9) the scan executable reproducibly crashes the
+    # axon TPU worker, so very large problems take the per-chunk-call
+    # path with small retained outputs and one final concatenate
+    use_scan = (jax.default_backend() == "cpu"
+                or nv * np_pad <= int(2.5e8))
+
+    @partial(jax.jit, static_argnames=("width", "n", "oc", "wt"))
+    def chunk_solve(rows, cols, vals, lo, cm, width, n, oc, wt):
         B = jnp.zeros((n, width), jnp.float32).at[rows, cols].add(vals)
         Xc = _block_pcg_jit(F_ell.cols, F_ell.vals, dinv, B, niter)
-        Sc = (J_ell.vals[:, :, None] * Xc[J_ell.cols, :]).sum(axis=1)
-        XcT = jnp.zeros((width, oc), jnp.float32).at[:, cm].set(Xc.T)
-        return XcT, Sc
+        keep = ((lo + jnp.arange(width)) < npp)[None, :]
+        Xc = jnp.where(keep, Xc, jnp.float32(0.0))
+        if wt == "S":
+            return (J_ell.vals[:, :, None]
+                    * Xc[J_ell.cols, :]).sum(axis=1)
+        return jnp.zeros((width, oc), jnp.float32).at[:, cm].set(Xc.T)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def xt_write(XT, XcT, lo):
-        return jax.lax.dynamic_update_slice(
-            XT, XcT, (lo, jnp.zeros((), lo.dtype)))
+    if not use_scan:
+        outs = []
+        for k, lo in enumerate(los_a):
+            outs.append(chunk_solve(
+                jnp.asarray(rows_a[k]), jnp.asarray(cols_a[k]),
+                jnp.asarray(vals_a[k]), jnp.asarray(lo), cmap,
+                chunk, nv, out_cols, "S" if want == "S" else "X"))
+        if want == "S":
+            Sfull = jnp.concatenate(outs, axis=1)
+            S = Sfull[:, :npp] if np_pad != npp else Sfull
+            S.block_until_ready()
+            _delete_buffers(*outs)
+            if S is not Sfull:
+                _delete_buffers(Sfull)
+            return None, S
+        if want == "X":
+            # assemble in ROW-PARTS of <= ~2 GB: one full-size
+            # concatenate peaks at 2x X during setup, which together
+            # with the resident S^-1 exhausted lvl3 HBM
+            rows_per_part = max(chunk, (int(2.0e9 / 4 / out_cols)
+                                        // chunk) * chunk)
+            cpp = rows_per_part // chunk
+            parts = []
+            for s in range(0, len(outs), cpp):
+                group = outs[s: s + cpp]
+                if len(group) == 1:
+                    p = group[0]
+                else:
+                    p = jnp.concatenate(group, axis=0)
+                    p.block_until_ready()
+                    _delete_buffers(*group)
+                parts.append(p)
+            if len(parts) == 1:
+                return parts[0], None
+            return tuple(parts), None
+        raise ValueError("want='both' unsupported on the per-chunk "
+                         "path — request 'S' then 'X'")
 
-    np_pad = ((npp + chunk - 1) // chunk) * chunk
-    XT = jnp.zeros((np_pad, out_cols), jnp.float32)
-    # uniform per-chunk triplet padding -> ONE compiled executable
-    bounds = np.searchsorted(c_all, np.arange(0, npp + chunk, chunk))
-    maxtrip = max(int(np.diff(bounds).max()), 1)
-    S_chunks = []
-    for lo in range(0, npp, chunk):
-        hi = min(lo + chunk, npp)
-        s, e = bounds[lo // chunk], bounds[lo // chunk + 1]
-        nt = e - s
-        rows = np.zeros(maxtrip, np.int32)
-        cols = np.zeros(maxtrip, np.int32)
-        vals = np.zeros(maxtrip, np.float32)
-        rows[:nt] = r_all[s:e]
-        cols[:nt] = c_all[s:e] - lo
-        # padded triplets alias (0, 0) with value 0 -> harmless .add
-        vals[:nt] = v_all[s:e]
-        XcT, Sc = chunk_solve(jnp.asarray(rows), jnp.asarray(cols),
-                              jnp.asarray(vals), cmap, chunk, nv,
-                              out_cols)
-        if hi < lo + chunk:
-            # zero the tail rows of the last (ragged) chunk
-            mask = (jnp.arange(chunk) < (hi - lo))[:, None]
-            XcT = jnp.where(mask, XcT, jnp.float32(0.0))
-        XT = xt_write(XT, XcT, jnp.int32(lo))
-        S_chunks.append(Sc[:, : hi - lo])
-    return XT, jnp.concatenate(S_chunks, axis=1)
+    @partial(jax.jit, static_argnames=("width", "n", "oc", "wt"))
+    def build_all(rows, cols, vals, los, cm, width, n, oc, wt):
+        def body(carry, inp):
+            XT, S = carry
+            r, c, v, lo = inp
+            B = jnp.zeros((n, width), jnp.float32).at[r, c].add(v)
+            Xc = _block_pcg_jit(F_ell.cols, F_ell.vals, dinv, B, niter)
+            # zero the rows beyond npp (ragged tail of the last chunk)
+            keep = ((lo + jnp.arange(width)) < npp)[None, :]
+            Xc = jnp.where(keep, Xc, jnp.float32(0.0))
+            if wt in ("both", "S"):
+                Sc = (J_ell.vals[:, :, None]
+                      * Xc[J_ell.cols, :]).sum(axis=1)
+                S = jax.lax.dynamic_update_slice(
+                    S, Sc, (jnp.zeros((), lo.dtype), lo))
+            if wt in ("both", "X"):
+                XcT = jnp.zeros((width, oc),
+                                jnp.float32).at[:, cm].set(Xc.T)
+                XT = jax.lax.dynamic_update_slice(
+                    XT, XcT, (lo, jnp.zeros((), lo.dtype)))
+            return (XT, S), None
+
+        XT0 = jnp.zeros((np_pad, oc) if wt in ("both", "X") else (1, 1),
+                        jnp.float32)
+        S0 = jnp.zeros((npp, np_pad) if wt in ("both", "S") else (1, 1),
+                       jnp.float32)
+        (XT, S), _ = jax.lax.scan(body, (XT0, S0),
+                                  (rows, cols, vals, los))
+        return XT, (S[:, :npp] if wt in ("both", "S") else S)
+
+    XT, S = build_all(jnp.asarray(rows_a), jnp.asarray(cols_a),
+                      jnp.asarray(vals_a), jnp.asarray(los_a),
+                      cmap, chunk, nv, out_cols, want)
+    if want == "S":
+        return None, S
+    if want == "X":
+        return XT, None
+    return XT, S
 
 
 def _device_f32_inverse(K, ns_iters=2):
@@ -650,19 +792,34 @@ class SchurSaddleSolver:
         if setup == "device":
             if full_map is not None:
                 self.nv = full_map[1]
-            XT, S = _build_schur_factors_device(
-                F, J, jT, 1.0 / dv, self.ncg,
-                out_cols=self.nv,
-                colmap=None if full_map is None else np.asarray(
-                    full_map[0]))
-            self.XT = XT.astype(dtype)
-            hi, lo = _equilibrate_inv_jit(S, 2)
-            del S
-            flush = np.float32(1.2e-38)
-            hi = jnp.where(jnp.abs(hi) < flush, np.float32(0.0), hi)
-            lo = jnp.where(jnp.abs(lo) < flush, np.float32(0.0), lo)
-            self.Sinv = jnp.concatenate([hi, lo], axis=0)
-            del hi, lo
+            cmap = (None if full_map is None
+                    else np.asarray(full_map[0]))
+            # ORDER matters for peak HBM at lvl3+: build + invert S
+            # while nothing big is alive, THEN build the (multi-GB) X^T
+            # — the block inversion's call-local scratch (~8 GB at
+            # np=13k) and X^T must never coexist (docs: the axon result
+            # cache retains call outputs, so staging is the memory tool)
+            _, S = _build_schur_factors_device(
+                F, J, jT, 1.0 / dv, self.ncg, out_cols=self.nv,
+                colmap=cmap, want="S")
+            hi, lo = _equilibrate_inv_staged(S, 2)
+            _delete_buffers(S)
+
+            @jax.jit
+            def _flush_stack(hi, lo):
+                flush = jnp.float32(1.2e-38)
+                hi = jnp.where(jnp.abs(hi) < flush, jnp.float32(0), hi)
+                lo = jnp.where(jnp.abs(lo) < flush, jnp.float32(0), lo)
+                return jnp.concatenate([hi, lo], axis=0)
+
+            self.Sinv = _flush_stack(hi, lo)
+            self.Sinv.block_until_ready()
+            _delete_buffers(hi, lo)
+            XT, _ = _build_schur_factors_device(
+                F, J, jT, 1.0 / dv, self.ncg, out_cols=self.nv,
+                colmap=cmap, want="X")
+            self.XT = (tuple(p.astype(dtype) for p in XT)
+                       if isinstance(XT, tuple) else XT.astype(dtype))
         else:
             lu = spsla.splu(F)
             X = lu.solve(np.asarray(jT.todense()))           # (nv, np)
@@ -772,11 +929,20 @@ class SchurSaddleSolver:
         return q2
 
     def _xapply(self, q):
-        """``X @ q`` via the transposed factor (one MXU vecmat)."""
-        npad = self.XT.shape[0]
+        """``X @ q`` via the transposed factor (one MXU vecmat per
+        row-part; multi-GB factors are stored as ROW-PARTS because the
+        full-size concatenate peaks at 2x X during setup — lvl3 OOM)."""
+        parts = self.XT if isinstance(self.XT, tuple) else (self.XT,)
+        npad = sum(p.shape[0] for p in parts)
         if npad != self.np:
             q = jnp.zeros((npad,), q.dtype).at[: self.np].set(q)
-        return q @ self.XT
+        y = None
+        lo = 0
+        for p in parts:
+            contrib = q[lo: lo + p.shape[0]] @ p
+            y = contrib if y is None else y + contrib
+            lo += p.shape[0]
+        return y
 
     def _base_solve(self, bv, bp):
         y = self._fsolve(bv)
