@@ -84,6 +84,8 @@ class HaloAffineOps:
     ``P(axis)``); translate with :meth:`to_perm` / :meth:`from_perm`.
     """
 
+    _build = None
+
     _aux_names = ("mesh", "axis", "aux_local", "nin", "npc", "nb",
                   "nbp", "h", "hp", "in_specs")
 
@@ -256,6 +258,11 @@ class HaloAffineOps:
         # permutation maps as device arrays (replicated; O(n) but local)
         self.newv_d = put_r(newv)
         self.newp_d = put_r(newp)
+        # host-side partition record, so other element kernels (the
+        # convection assembly) can be sharded CONSISTENTLY with this
+        # band decomposition (build-time only; not a pytree member —
+        # unflattened copies carry None)
+        self._build = dict(newv=newv, dev_e=dev_e)
 
     # -- pytree ----------------------------------------------------------
     def tree_flatten(self):
@@ -374,15 +381,21 @@ class HaloAffineOps:
             p = z
             rz = dot(r, z)
 
+            def safediv(num, den):
+                # 0/0 -> 0 without an additive eps (TPU-emulated f64
+                # flushes tiny constants to zero)
+                ok = den != 0
+                return jnp.where(ok, num, 0.0) / jnp.where(ok, den, 1.0)
+
             def body(_, st):
                 x, r, p, rz = st
                 ap = fmv(p)
-                alpha = rz / dot(p, ap)
+                alpha = safediv(rz, dot(p, ap))
                 x = x + alpha * p
                 r = r - alpha * ap
                 z = ds * r
                 rz_n = dot(r, z)
-                p = z + (rz_n / rz) * p
+                p = z + safediv(rz_n, rz) * p
                 return (x, r, p, rz_n)
 
             x, _, _, _ = lax.fori_loop(0, niter, body, (x, r, p, rz))
@@ -394,3 +407,401 @@ class HaloAffineOps:
             out_specs=P(ax),
             check_rep=False,
         )(*self.leaves, b, dinv)
+
+
+# ---------------------------------------------------------------------------
+# halo-sharded convection kernel + the full halo CNAB step
+# ---------------------------------------------------------------------------
+
+from ..ops.convection import ConvectionKernel  # noqa: E402
+
+
+class HaloConvKernel:
+    """Band-partitioned :class:`~..ops.convection.ConvectionKernel`.
+
+    Elements follow the SAME band decomposition as a built
+    :class:`HaloAffineOps` (whose ``_build`` record supplies the RCM
+    permutation and the element->device map, so the convection halo is
+    guaranteed to fit the affine halo width ``h``).  Because the
+    convection term is nonlinear in the *full* velocity field, each
+    device's local gather window is extended with a replicated tail of
+    the (static) Dirichlet boundary values:
+
+        local input = [ window of inner dofs (nb + 2h) | bc values ]
+
+    and the element dof tables are remapped into that layout.  One
+    application = the window exchange already paid for the step's other
+    matvecs + local quadrature + the standard halo return.
+    """
+
+    def __init__(self, kern: ConvectionKernel, halo: HaloAffineOps, prob):
+        if halo._build is None:
+            raise ValueError("halo must be a freshly built HaloAffineOps "
+                             "(the partition record is build-time only)")
+        mesh, axis = halo.mesh, halo.axis
+        ndev = mesh.shape[axis]
+        nb, h = halo.nb, halo.h
+        win_v = nb + 2 * h
+        leaves, aux = kern.tree_flatten()
+        names = ("W1blk", "W2blk", "W2Tblk", "W3blk", "Nq", "dNq",
+                 "JinvT", "wdet", "nodes", "vd", "vdofs_flat")
+        lv = dict(zip(names, [np.asarray(x) for x in leaves]))
+        auxd = dict(zip(("nv_full", "Q", "nvpc", "blk", "nc", "nc_real",
+                         "dim"), aux))
+        nc_real, blk = auxd["nc_real"], auxd["blk"]
+        dev_e = halo._build["dev_e"]
+        if len(dev_e) < nc_real:
+            raise ValueError("affine/convection element tables disagree")
+        dev_e = dev_e[:nc_real]
+        newv = halo._build["newv"]
+
+        nin = halo.nin
+        nv_full = auxd["nv_full"]
+        invinds = np.asarray(prob.invinds)
+        full2in = np.full(nv_full + 1, -1, dtype=np.int64)
+        full2in[invinds] = np.arange(nin, dtype=np.int64)
+        bcids = np.setdiff1d(np.arange(nv_full), invinds)
+        nbc = len(bcids)
+        full2bc = np.full(nv_full + 1, -1, dtype=np.int64)
+        full2bc[bcids] = np.arange(nbc, dtype=np.int64)
+        self.bc_vals_host = np.asarray(prob.bc_full_vec(),
+                                       np.float64)[bcids]
+        nloc = win_v + nbc                       # local "nv_full"
+        drop = nloc                              # kernel pad slot
+
+        # per-device element selection, padded to a common blk multiple
+        by_dev = [np.where(dev_e == d)[0] for d in range(ndev)]
+        nc_loc = max(1, max(len(ix) for ix in by_dev))
+        nc_loc = -(-nc_loc // blk) * blk
+        sel = np.full((ndev, nc_loc), -1, dtype=np.int64)
+        for d, ix in enumerate(by_dev):
+            sel[d, : len(ix)] = ix
+        dummy = sel < 0
+        sel = np.maximum(sel, 0)
+
+        vd = lv["vd"][:nc_real]                  # (nc_real, nd) full ids
+        vd_sel = vd[sel.reshape(-1)].reshape(ndev, nc_loc, -1)
+        inn = full2in[np.minimum(vd_sel, nv_full)]
+        isbc = full2bc[np.minimum(vd_sel, nv_full)]
+        off_dev = (np.arange(ndev) * nb)[:, None, None]
+        vloc_in = np.where(inn >= 0, newv[np.maximum(inn, 0)], 0) - off_dev
+        hneed = _halo_of(np.where((inn >= 0) & ~dummy[:, :, None],
+                                  vloc_in, 0), nb)
+        if hneed > h:
+            raise ValueError(f"convection halo {hneed} > affine halo {h}")
+        vloc = np.where(inn >= 0, vloc_in + h,
+                        np.where(isbc >= 0, win_v + isbc, drop))
+        vloc = np.where(dummy[:, :, None], drop, vloc)
+
+        def slice_e(arr, fill=0.0):
+            a = arr[:nc_real][sel.reshape(-1)].copy()
+            a[dummy.reshape(-1)] = fill
+            return a
+
+        def put_e(a):
+            a = jnp.asarray(a)
+            return jax.device_put(
+                a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+
+        def put_r(a):
+            return jax.device_put(jnp.asarray(a), NamedSharding(mesh, P()))
+
+        placed, specs = [], []
+        for n in names:
+            if n == "vd":
+                arr = put_e(vloc.reshape(ndev * nc_loc, -1))
+            elif n == "vdofs_flat":
+                # travels in (nc, nd) layout; flattened inside shard_map
+                arr = put_e(vloc.reshape(ndev * nc_loc, -1))
+            elif n == "nodes":
+                arr = put_e(slice_e(lv[n], fill=0))
+            elif n in ("JinvT", "wdet"):
+                arr = put_e(slice_e(lv[n]))
+            else:
+                arr = put_r(lv[n])
+            placed.append(arr)
+            specs.append(P(axis, *([None] * (arr.ndim - 1)))
+                         if n in ("vd", "vdofs_flat", "nodes", "JinvT",
+                                  "wdet") else P())
+        self.leaves = tuple(placed)
+        self.in_specs = tuple(specs)
+        auxd["nv_full"] = nloc
+        auxd["nc"] = nc_loc
+        auxd["nc_real"] = nc_loc
+        self.aux_local = tuple(auxd[k] for k in
+                               ("nv_full", "Q", "nvpc", "blk", "nc",
+                                "nc_real", "dim"))
+        self.bc_vals = put_r(self.bc_vals_host)
+        self.win_v = win_v
+
+
+def make_halo_cnab_step(prob, dt, mesh, axis="elem", theta=0.5,
+                        dtype=jnp.float64):
+    """Build the fully-sharded halo CNAB machinery: the state never
+    leaves the permuted band-sharded layout; all per-step work (nonlinear
+    convection assembly, A-matvec, the nested matrix-free block-Schur
+    solve) runs device-local with O(bandwidth) ``ppermute`` exchanges
+    and scalar ``psum`` reductions — no O(n) collective anywhere.
+
+    This is the matrix-free large-mesh regime: no dense Schur factors
+    (the per-chip memory is O(elements/ndev)), so it has no single-chip
+    HBM ceiling at all; the price is nested PCG per step.  Use the
+    dense-factor paths (:func:`make_sharded_cnab_step` /
+    :class:`ShardedSchurSolver`) below their memory limits.
+
+    Returns ``(halo, hconv, bundle)``; drive with :func:`halo_cnab_scan`.
+    """
+    import scipy.sparse as sps
+
+    aff = prob.affine_ops(dtype)
+    halo = HaloAffineOps(aff, mesh, axis)
+    kern = ConvectionKernel(prob.ctx, dtype=dtype)
+    hconv = HaloConvKernel(kern, halo, prob)
+
+    F = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
+    dinvF = 1.0 / np.asarray(F.diagonal()).ravel()
+    J = sps.csr_matrix(prob.Jc)
+    # Jacobi seed for the BFBt pressure operator diag(J diag(F)^-1 J^T)
+    dS = np.asarray(J.multiply(J) @ dinvF).ravel()
+    dinvS = np.where(dS > 0, 1.0 / np.where(dS > 0, dS, 1.0), 0.0)
+    # Cahouet-Chabard mass term: S^-1 ~ Lp^-1 + theta dt nu Mp^-1
+    dMp = np.asarray(prob.MP.diagonal()).ravel()[: prob.np_cond]
+    dinvMp = theta * dt * float(prob.nu) / dMp
+    bundle = dict(
+        fv=halo.to_perm(jnp.asarray(np.asarray(prob.fv).ravel())),
+        fp=halo.to_perm(jnp.asarray(np.asarray(prob.fp).ravel()),
+                        pressure=True),
+        dinvF=halo.to_perm(jnp.asarray(dinvF)),
+        dinvS=halo.to_perm(jnp.asarray(dinvS), pressure=True),
+        dinvMp=halo.to_perm(jnp.asarray(dinvMp), pressure=True),
+        bc_vals=hconv.bc_vals,
+    )
+    return halo, hconv, bundle
+
+
+def mf_schur_cnab_ops(pcgs, consts):
+    """The layout-agnostic increment-form CNAB step with the MATRIX-FREE
+    block-Schur solve, shared by the halo-sharded scan and its serial
+    twin (the test oracle): ``pcgs`` provides the operator callables
+    (``fmv, amv, jmv, jtmv, conv, pcg, fcg_s``), ``consts`` the vectors.
+
+    The Schur complement ``S = J F^-1 J^T`` is solved by a flexible CG
+    whose preconditioner is Cahouet-Chabard-like (stokes pressure
+    convection-diffusion analysis): ``S^-1 ~ Lp^-1 + theta dt nu Mp^-1``
+    with the discrete pressure Laplacian ``Lp = J diag(F)^-1 J^T``
+    applied matrix-free and inverted by a few inner Jacobi-CG rounds —
+    every piece rides the same O(halo) operator applications.
+
+    Warm starts: the three solve results (y, q, x) are carried between
+    steps; consecutive increment systems differ by O(dt), so each step
+    continues converging the previous step's solution.
+    """
+    dt, theta = consts["dt"], consts["theta"]
+    fv, fp = consts["fv"], consts["fp"]
+    dinvF = consts["dinvF"]
+    nf = consts["niter_f"]
+
+    def step(carry, _):
+        v, nfc_o, y0, q0, x0 = carry
+        nfc_c = -pcgs["conv"](v)
+        rhs = (-dt * pcgs["amv"](v)
+               + 0.5 * dt * (3.0 * nfc_c - nfc_o) + dt * fv)
+        rp = fp - pcgs["jmv"](v)
+        y = pcgs["pcg"](pcgs["fmv"], dinvF, rhs, nf, y0)
+        g = pcgs["jmv"](y) - rp
+        q = pcgs["fcg_s"](g, q0)
+        x = pcgs["pcg"](pcgs["fmv"], dinvF, pcgs["jtmv"](q), nf, x0)
+        return (v + y - x, nfc_c, y, q, x), None
+
+    return step
+
+
+def mf_solvers(dot, fmv, jmv, jtmv, dinvF, dinvS, dinvMp,
+               niter_f=30, niter_s=12, niter_lp=25):
+    """Build the (warm-startable) Jacobi-PCG and the Cahouet-Chabard-
+    preconditioned flexible CG on the Schur complement from the operator
+    callables — layout-agnostic (``dot`` supplies the reduction: a plain
+    ``jnp.dot`` serially, ``psum(dot)`` in the halo-sharded layout)."""
+
+    def safediv(num, den):
+        # branchless 0/0 -> 0: a zero denominator only occurs with a
+        # zero search direction (converged / zero rhs).  NOTE: an
+        # additive eps (x + 1e-300) is NOT safe here — TPU-emulated f64
+        # flushes it to zero and the NaN returns.
+        ok = den != 0
+        return jnp.where(ok, num, 0.0) / jnp.where(ok, den, 1.0)
+
+    def pcg(mv, dinv, b, niter, x0=None):
+        x = jnp.zeros_like(b) if x0 is None else x0
+        r = b if x0 is None else b - mv(x0)
+        z = dinv * r
+        p = z
+        rz = dot(r, z)
+
+        def body(_, st):
+            x, r, p, rz = st
+            ap = mv(p)
+            alpha = safediv(rz, dot(p, ap))
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = dinv * r
+            rz_n = dot(r, z)
+            p = z + safediv(rz_n, rz) * p
+            return (x, r, p, rz_n)
+
+        return lax.fori_loop(0, niter, body, (x, r, p, rz))[0]
+
+    def lp_mv(q):
+        # discrete pressure Laplacian (BFBt form): J diag(F)^-1 J^T
+        return jmv(dinvF * jtmv(q))
+
+    def prec_s(r):
+        return pcg(lp_mv, dinvS, r, niter_lp) + dinvMp * r
+
+    def s_apply(q):
+        return jmv(pcg(fmv, dinvF, jtmv(q), niter_f))
+
+    def fcg_s(b, x0):
+        # flexible PCG (Polak-Ribiere beta): the inner-CG preconditioner
+        # is not a fixed linear operator
+        x = x0
+        r = b - s_apply(x0)
+        z = prec_s(r)
+        p = z
+        rz = dot(r, z)
+
+        def body(_, st):
+            x, r, p, rz = st
+            ap = s_apply(p)
+            alpha = safediv(rz, dot(p, ap))
+            x = x + alpha * p
+            r_n = r - alpha * ap
+            z_n = prec_s(r_n)
+            beta = safediv(dot(z_n, r_n - r), rz)
+            p = z_n + beta * p
+            return (x, r_n, p, dot(r_n, z_n))
+
+        return lax.fori_loop(0, niter_s, body, (x, r, p, rz))[0]
+
+    return pcg, fcg_s
+
+
+def halo_cnab_scan(halo, hconv, bundle, v0p, nsteps, dt, theta=0.5,
+                   niter_f=30, niter_s=12, niter_lp=25):
+    """Run ``nsteps`` increment-form CNAB steps entirely inside ONE
+    ``shard_map``: carry = (sharded velocity, sharded AB2 convection,
+    warm-start solves).
+
+    Per step: 1 convection assembly + 1 A-matvec + the matrix-free
+    block-Schur solve (warm F-solve, ``niter_s`` Cahouet-Chabard-
+    preconditioned flexible-CG Schur iterations whose operator is
+    J F^-1 J^T with an inner ``niter_f`` F-PCG, final warm F-solve) —
+    every operator application exchanges only the halo.
+
+    Returns the final sharded velocity (``from_perm`` to read it).
+    """
+    aux_a, aux_c = halo.aux_local, hconv.aux_local
+    h, hp, nb, nbp, ax = halo.h, halo.hp, halo.nb, halo.nbp, halo.axis
+    win_v = hconv.win_v
+    cm, ca = 1.0, theta * dt
+    na, nc_ = len(halo.leaves), len(hconv.leaves)
+
+    def local(*args):
+        la_lv = args[:na]
+        lc_lv = list(args[na: na + nc_])
+        (bc_vals, fv, fp, dinvF, dinvS, dinvMp, v0,
+         nfc0) = args[na + nc_:]
+        la = AffineVectorOps.tree_unflatten(aux_a, la_lv)
+        lc_lv[-1] = lc_lv[-1].reshape(-1)
+        lk = ConvectionKernel.tree_unflatten(aux_c, tuple(lc_lv))
+
+        def win(xs, hw):
+            from_left = lax.ppermute(
+                xs[-hw:], ax,
+                [(i, i + 1) for i in range(halo.ndev - 1)])
+            from_right = lax.ppermute(
+                xs[:hw], ax,
+                [(i + 1, i) for i in range(halo.ndev - 1)])
+            return jnp.concatenate([from_left, xs, from_right])
+
+        def unwin(ow, hw, nbo):
+            to_left = lax.ppermute(
+                ow[:hw], ax,
+                [(i + 1, i) for i in range(halo.ndev - 1)])
+            to_right = lax.ppermute(
+                ow[hw + nbo: hw + nbo + hw], ax,
+                [(i, i + 1) for i in range(halo.ndev - 1)])
+            own = ow[hw: hw + nbo]
+            own = own.at[-hw:].add(to_left)
+            own = own.at[:hw].add(to_right)
+            return own
+
+        def fmv(xs):
+            return unwin(la.ma_matvec(win(xs, h), cm, ca), h, nb)
+
+        def amv(xs):
+            return unwin(la.ma_matvec(win(xs, h), 0.0, 1.0), h, nb)
+
+        def jmv(xs):
+            return unwin(la.j_matvec(win(xs, h)), hp, nbp)
+
+        def jtmv(qs):
+            return unwin(la.jt_matvec(win(qs, hp)), h, nb)
+
+        def conv(xs):
+            u_loc = jnp.concatenate([win(xs, h), bc_vals])
+            return unwin(lk.vector(u_loc)[:win_v], h, nb)
+
+        def dot(u, v):
+            return lax.psum(jnp.dot(u, v), ax)
+
+        pcg, fcg_s = mf_solvers(dot, fmv, jmv, jtmv, dinvF, dinvS,
+                                dinvMp, niter_f, niter_s, niter_lp)
+        step = mf_schur_cnab_ops(
+            dict(fmv=fmv, amv=amv, jmv=jmv, jtmv=jtmv, conv=conv,
+                 pcg=pcg, fcg_s=fcg_s),
+            dict(dt=dt, theta=theta, fv=fv, fp=fp, dinvF=dinvF,
+                 niter_f=niter_f))
+
+        c0 = (v0, nfc0, jnp.zeros_like(v0), jnp.zeros_like(fp),
+              jnp.zeros_like(v0))
+        (v, _, _, _, _), _ = lax.scan(step, c0, None, length=nsteps)
+        return v
+
+    # bootstrap the AB2 "previous" convection at v0 (one application in
+    # its own small shard_map, matching the serial cnab hand-off)
+    def conv_init(*args):
+        lc_lv = list(args[:nc_])
+        bc_vals, xs = args[nc_:]
+        lc_lv[-1] = lc_lv[-1].reshape(-1)
+        lk = ConvectionKernel.tree_unflatten(aux_c, tuple(lc_lv))
+        from_left = lax.ppermute(
+            xs[-h:], ax, [(i, i + 1) for i in range(halo.ndev - 1)])
+        from_right = lax.ppermute(
+            xs[:h], ax, [(i + 1, i) for i in range(halo.ndev - 1)])
+        u_loc = jnp.concatenate([from_left, xs, from_right, bc_vals])
+        ow = lk.vector(u_loc)[:win_v]
+        to_left = lax.ppermute(
+            ow[:h], ax, [(i + 1, i) for i in range(halo.ndev - 1)])
+        to_right = lax.ppermute(
+            ow[h + nb: h + nb + h], ax,
+            [(i, i + 1) for i in range(halo.ndev - 1)])
+        own = ow[h: h + nb]
+        own = own.at[-h:].add(to_left)
+        own = own.at[:h].add(to_right)
+        return -own
+
+    nfc0 = shard_map(
+        conv_init, mesh=halo.mesh,
+        in_specs=hconv.in_specs + (P(), P(ax)),
+        out_specs=P(ax), check_rep=False,
+    )(*hconv.leaves, bundle["bc_vals"], v0p)
+
+    return shard_map(
+        local, mesh=halo.mesh,
+        in_specs=(halo.in_specs + hconv.in_specs
+                  + (P(),) + (P(ax),) * 7),
+        out_specs=P(ax), check_rep=False,
+    )(*halo.leaves, *hconv.leaves, bundle["bc_vals"], bundle["fv"],
+      bundle["fp"], bundle["dinvF"], bundle["dinvS"], bundle["dinvMp"],
+      v0p, nfc0)

@@ -974,18 +974,37 @@ class SchurSaddleSolver:
         # of the cold count holds the same tolerance in practice
         return max(6, (2 * self.ncg) // 3)
 
-    def solve_warm(self, rhsv, rhsp, y0, niter=None):
+    def solve_warm(self, rhsv, rhsp, y0, niter=None, refine=0,
+                   niter_ref=None):
         """Warm-started variant for time stepping: pass the previous
         step's velocity-block solve ``y`` (returned as the third field)
         or an extrapolation of the previous two — consecutive increment
         solves differ by O(dt) (an extrapolated start by O(dt^2)), so
         the PCG starts near the solution and needs far fewer
-        iterations (``niter`` overrides the 2/3-of-cold default)."""
+        iterations (``niter`` overrides the 2/3-of-cold default).
+
+        ``refine`` appends that many SHORT residual-correction rounds
+        (each: scaled residual -> ``niter_ref``-iteration cold PCG +
+        Schur tail).  One round with ``niter_ref~niter`` roughly
+        doubles the step cost and cuts the trajectory-error floor of
+        the f32 Schur path by ~an order of magnitude (the floor is the
+        in-step solve tolerance, docs/PERF_NOTES.md section 4.3)."""
         bv = rhsv.reshape(-1).astype(self.dtype)
         bp = rhsp.reshape(-1).astype(self.dtype)
         y = self._fsolve(bv, x0=y0, niter=niter or self.ncg_warm)
         q = self._sapply(self._jmv(y) - bp)
         v = y - self._xapply(q)
+        for _ in range(refine):
+            rv = bv - (self._fmv(v) + self._jtmv(q))
+            rp = bp - self._jmv(v)
+            # scale the correction to O(1) (f32 denormal stall on TPU)
+            s = jnp.sqrt(jnp.mean(rv * rv) + jnp.mean(rp * rp)
+                         + jnp.asarray(1e-30, rv.dtype))
+            y2 = self._fsolve(rv / s, niter=niter_ref or niter
+                              or self.ncg_warm)
+            q2 = self._sapply(self._jmv(y2) - rp / s)
+            v = v + s * (y2 - self._xapply(q2))
+            q = q + s * q2
         return jnp.concatenate([v, q]), y
 
 

@@ -276,3 +276,110 @@ def test_halo_pcg_solves(prob_halo):
         xp = halo.pcg_solve(bp, dp, cm, ca, 40)
         x_halo = np.asarray(halo.from_perm(xp))
     assert np.allclose(x_halo, x_ser, atol=1e-10)
+
+
+def test_halo_cnab_full_step(prob_halo):
+    """The END-TO-END halo CNAB scan (state sharded across the time
+    loop; convection + A-matvec + nested matrix-free Schur solve all
+    device-local with O(bandwidth) exchanges) matches (a) a serial twin
+    of the identical algorithm to f64 roundoff and (b) the f64 splu
+    CNAB oracle at nested-solver accuracy."""
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spsla
+
+    from dolfin_navier_scipy_tpu.parallel.halo import (
+        halo_cnab_scan, make_halo_cnab_step,
+    )
+    from dolfin_navier_scipy_tpu.solve import solve_steadystate_nse
+
+    prob = prob_halo
+    dt, theta = 2e-3, 0.5
+    nsteps, nf, ns, nlp = 12, 30, 10, 25
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = np.asarray(vss).ravel()[prob.invinds]
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("elem",))
+    with mesh:
+        halo, hconv, bundle = make_halo_cnab_step(prob, dt, mesh,
+                                                  theta=theta)
+        v0p = halo.to_perm(jnp.asarray(v0))
+        vT = halo.from_perm(halo_cnab_scan(
+            halo, hconv, bundle, v0p, nsteps, dt, theta=theta,
+            niter_f=nf, niter_s=ns, niter_lp=nlp))
+    v_halo = np.asarray(vT)
+
+    # (a) serial twin: the SAME algorithm (mf_solvers/mf_schur_cnab_ops)
+    # over the unsharded operators
+    from jax import lax
+
+    from dolfin_navier_scipy_tpu.parallel.halo import (
+        mf_schur_cnab_ops, mf_solvers,
+    )
+
+    aff = prob.affine_ops(jnp.float64)
+    kern = prob.conv_kernel
+    invinds = jnp.asarray(prob.invinds)
+    v_bc = jnp.asarray(prob.bc_full_vec())
+    fv = jnp.asarray(np.asarray(prob.fv).ravel())
+    fp = jnp.asarray(np.asarray(prob.fp).ravel())
+    F = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
+    dinvF = jnp.asarray(1.0 / np.asarray(F.diagonal()).ravel())
+    Jm = sps.csr_matrix(prob.Jc)
+    dS = np.asarray(Jm.multiply(Jm)
+                    @ (1.0 / np.asarray(F.diagonal()).ravel())).ravel()
+    dinvS = jnp.asarray(np.where(dS > 0, 1.0 / np.where(dS > 0, dS, 1.0),
+                                 0.0))
+    dMp = np.asarray(prob.MP.diagonal()).ravel()[: prob.np_cond]
+    dinvMp = jnp.asarray(theta * dt * float(prob.nu) / dMp)
+    cm, ca = 1.0, theta * dt
+
+    def fmv(x):
+        return aff.ma_matvec(x, cm, ca)
+
+    def conv(v):
+        return kern.vector(v_bc.at[invinds].set(v))[invinds]
+
+    pcg, fcg_s = mf_solvers(jnp.dot, fmv, aff.j_matvec, aff.jt_matvec,
+                            dinvF, dinvS, dinvMp, nf, ns, nlp)
+    step = mf_schur_cnab_ops(
+        dict(fmv=fmv, amv=aff.a_matvec, jmv=aff.j_matvec,
+             jtmv=aff.jt_matvec, conv=conv, pcg=pcg, fcg_s=fcg_s),
+        dict(dt=dt, theta=theta, fv=fv, fp=fp, dinvF=dinvF, niter_f=nf))
+    c0 = (jnp.asarray(v0), -conv(jnp.asarray(v0)),
+          jnp.zeros(len(prob.invinds)), jnp.zeros(prob.np_cond),
+          jnp.zeros(len(prob.invinds)))
+    (v, _, _, _, _), _ = lax.scan(step, c0, None, length=nsteps)
+    v_ser = np.asarray(v)
+
+    rel_twin = (np.linalg.norm(v_halo - v_ser)
+                / np.linalg.norm(v_ser))
+    assert rel_twin < 1e-10, rel_twin
+
+    # (b) splu oracle of the same CNAB recipe
+    nin, npp = len(prob.invinds), prob.np_cond
+    K = sps.vstack([
+        sps.hstack([sps.csc_matrix(prob.Mc + theta * dt * prob.Ac),
+                    sps.csc_matrix(prob.JTc)]),
+        sps.hstack([sps.csc_matrix(prob.Jc),
+                    sps.csc_matrix((npp, npp))]),
+    ]).tocsc()
+    lu = spsla.splu(K)
+    M, A = sps.csr_matrix(prob.Mc), sps.csr_matrix(prob.Ac)
+    fvn = np.asarray(prob.fv).ravel()
+    fpn = np.asarray(prob.fp).ravel()
+    bcv = prob.bc_full_vec()
+    vo = v0.copy()
+    fullv = bcv.copy()
+    fullv[prob.invinds] = vo
+    nfo = -np.asarray(kern.vector(jnp.asarray(fullv)))[prob.invinds]
+    for _ in range(nsteps):
+        fullv = bcv.copy()
+        fullv[prob.invinds] = vo
+        nfc = -np.asarray(kern.vector(jnp.asarray(fullv)))[prob.invinds]
+        rhs = (M @ vo - 0.5 * dt * (A @ vo)
+               + 0.5 * dt * (3 * nfc - nfo) + dt * fvn)
+        sol = lu.solve(np.concatenate([rhs, fpn]))
+        vo, nfo = sol[:nin], nfc
+    rel_oracle = np.linalg.norm(v_halo - vo) / np.linalg.norm(vo)
+    assert rel_oracle < 1e-6, rel_oracle
