@@ -19,9 +19,15 @@ f64-carried trajectory matches the f64 splu trajectory to ~5e-8 over
 ``accurate`` (f64 carry) and ``fast`` (f32 carry) share the kernels.
 Measured on v5e (exclusive machine): ~750 steps/s accurate = ~12x the
 splu baseline at 8k dofs (fused convection+stiffness element pipeline,
-full-dof layout); level-2 (29.5k dofs, full-layout block-Schur solver)
-~690 steps/s = ~50x its baseline; level-3 (61k dofs) 656 steps/s = 111x — throughput is
-nearly size-flat across 8k-61k dofs.
+full-dof layout) in a GOOD tunnel window.  CAVEAT (docs/PERF_NOTES.md
+section 5): the tunneled TPU's absolute throughput varies by MULTIPLES
+across sessions/time-windows (measured 245-731 steps/s for the same
+lvl1 configuration); ``session_app_us_lvl1`` in the JSON records the
+per-application in-scan cost of the same session so numbers can be
+normalized — a step is ~(n_applications x that).  Levels 2/3 run the
+block-Schur path with ``warm_refine=1`` (one residual round per step):
+the reported steps/s and the <=1e-6 ``rel_err`` come from the SAME
+configuration; the ``_fast`` twin (no refine, ~1e-5 floor) is ~2x.
 """
 
 import json
@@ -54,7 +60,7 @@ def build(level=1):
 
 def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
                          linsolver="auto", layout="inner", v0=None,
-                         ops=None, warm_refine=0):
+                         ops=None, warm_refine=0, niter_warm=None):
     """One increment-form CNAB step per scan iteration, in the full-dof
     state layout (dense path) or the inner layout (Schur path).
 
@@ -135,7 +141,8 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
                 ysol, ysol_p = carry[3], carry[4]
                 sol, y_n = b["slv"].solve_warm(rhs, rp,
                                                2.0 * ysol - ysol_p,
-                                               niter=_NITER_WARM,
+                                               niter=(niter_warm
+                                                      or _NITER_WARM),
                                                refine=warm_refine)
                 return (vf + sol[:nf].astype(vf.dtype), nfc_c, b["fp"],
                         y_n, ysol), None
@@ -218,6 +225,32 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
     return nsteps / el, vals[-1], ops
 
 
+def measure_app_us(prob, dt, nsteps=300):
+    """Session-quality probe: the in-scan cost of ONE F-application
+    (element-pipeline matvec), measured as the step-time slope between
+    6 and 14 warm PCG iterations of the PRODUCTION Schur scan (the same
+    measurement path as every steps/s number here, with its perturbed
+    inputs + outputs-must-differ result-cache guard; standalone chained-
+    matvec probes were observed to get served stale results by the axon
+    runtime regardless of fresh inputs).  The per-step cost of every
+    solver is ~(n_applications x this number) — the tunneled TPU's
+    windows differ by multiples across sessions (docs/PERF_NOTES.md
+    section 5), so BENCH JSONs carry this to normalize steps/s."""
+    import numpy as np
+
+    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+
+    ops = _build_ops(prob, dt, theta=0.5, precision="accurate",
+                     linsolver="schur", layout="full")
+    v0 = np.zeros(len(prob.invinds))
+    sps = {}
+    for it in (6, 14):
+        sps[it], _, ops = device_steps_per_sec(
+            prob, dt, nsteps=nsteps, mode="accurate", linsolver="schur",
+            layout="full", v0=v0, ops=ops, niter_warm=it)
+    return 1e6 * (1.0 / sps[14] - 1.0 / sps[6]) / 8
+
+
 def baseline_loop(prob, dt, nsteps=60, v0=None, return_v=False):
     """Reference-style loop: scipy splu (f64) + host convection assembly.
     Doubles as the f64 accuracy oracle."""
@@ -295,15 +328,27 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
             prob, dt, nsteps=oracle_steps, mode="accurate",
             linsolver="schur", layout="full", v0=v0, ops=ops,
             warm_refine=warm_refine)
+    # unrefined twin: the ~1e-5-floor fast configuration (same kernels,
+    # no per-step residual round) — costs exactly ~2x less
+    sps_fast = None
+    if warm_refine:
+        sps_fast, _, _ = device_steps_per_sec(
+            prob, dt, nsteps=nsteps, mode="accurate", linsolver="schur",
+            layout="full", v0=v0, ops=ops, warm_refine=0)
     _, v64 = baseline_loop(prob, dt, nsteps=oracle_steps, v0=v0,
                            return_v=True)
     rel = float(np.linalg.norm(v_dev - v64) / np.linalg.norm(v64))
     base = baseline_loop(prob, dt, nsteps=base_steps, v0=v0)
     k = f"l{level}"
-    return {k: round(sps_, 2), k + "_base": round(base, 2),
-            k + "_dofs": int(len(prob.invinds) + prob.np_cond),
-            k + "_rel_err": rel, k + "_setup_s": setup_s,
-            k + "_vs_baseline": round(sps_ / base, 2)}
+    out = {k: round(sps_, 2), k + "_base": round(base, 2),
+           k + "_dofs": int(len(prob.invinds) + prob.np_cond),
+           k + "_rel_err": rel, k + "_setup_s": setup_s,
+           k + "_vs_baseline": round(sps_ / base, 2),
+           k + "_warm_refine": warm_refine}
+    if sps_fast is not None:
+        out[k + "_fast"] = round(sps_fast, 2)
+        out[k + "_fast_vs_baseline"] = round(sps_fast / base, 2)
+    return out
 
 
 def level_steps_per_sec(level, base_steps=20, oracle_steps=300,
@@ -360,6 +405,10 @@ def main():
     # the single-core host baseline jitters ~15% run-to-run; median of 3
     base = float(np.median([baseline_loop(prob, dt, nsteps=100, v0=v0)
                             for _ in range(3)]))
+    # session-quality normalizer: per-application in-scan cost (the
+    # tunneled TPU's windows differ by multiples run-to-run; steps/s
+    # is only comparable across sessions via this number)
+    app_us = measure_app_us(prob, dt)
     l2 = level_steps_per_sec(2)
     l3 = level_steps_per_sec(3, base_steps=12, oracle_steps=300)
     print(json.dumps({
@@ -375,6 +424,7 @@ def main():
         "dofs": int(len(prob.invinds) + prob.np_cond),
         "setup_s": setup_s,
         "first_run_s": first_run_s,
+        "session_app_us_lvl1": round(app_us, 1),
         "level2": l2,
         "level3": l3,
     }))

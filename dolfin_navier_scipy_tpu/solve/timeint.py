@@ -545,10 +545,16 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
          check_ff_maxv=1e8, save_every=1,
          predictor="IMEX-Euler",
          inv_dtype=None, refine=None, ops=None, precision="accurate",
-         linsolver="auto", state_layout="auto",
+         linsolver="auto", state_layout="auto", warm_refine=0,
          resume_carry=None, umat=None, vmat=None,
          verbose=False, **kw):
     """Crank-Nicolson / Adams-Bashforth-2 (reference time_int_utils.py:23).
+
+    ``warm_refine``: short residual-correction rounds appended to each
+    in-scan warm Schur solve (full-layout block-Schur path only) — buys
+    the <=1e-6 trajectory regime at ~2x the step cost (lvl1 measured:
+    rel_err 9.6e-6 -> 6.1e-8); the f32 floor without it is the in-step
+    solve tolerance (docs/PERF_NOTES.md section 4.3).
 
     Returns a dict with the final ``(v, p)``, the blow-up flag, the
     decimated trajectory ``(times, vs, ps)`` (device arrays), and the
@@ -661,7 +667,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                 # ncg=14; 4 iterations degrade to 7.6e-5)
                 y0 = 2.0 * c["ysol"] - c["ysol_p"]
                 sol, y_n = b["slv"].solve_warm(rhs, rp, y0,
-                                               niter=_NITER_WARM)
+                                               niter=_NITER_WARM,
+                                               refine=warm_refine)
             elif fl.get("ZpT") is not None:
                 # Pallas tiled vecmat on the padded transposed inverse
                 # (531 vs 346 GB/s for the XLA dot; docs/PERF_NOTES.md)
