@@ -54,7 +54,14 @@ def build(level=1):
     from dolfin_navier_scipy_tpu.models import cylinderwake_problem
 
     prob = cylinderwake_problem(level=level, nu=1e-3, charvel=1.0)  # Re=100
-    dt = 2.5e-4
+    # CNAB's explicit AB2 convection has a CFL-type stability bound that
+    # tightens with mesh refinement (the reference's own stability lore:
+    # tests/start-generic-tdp-sim.sh "4200 was OK with CNAB, 4000 not").
+    # Measured with the f64 splu ORACLE from the Stokes start (300
+    # steps): lvl3 blows up at dt=2.5e-4 and 1.25e-4, stable at
+    # 6.25e-5 — the benchmark must run a stable configuration
+    # (baseline and device use the same dt, so vs_baseline is fair).
+    dt = 2.5e-4 if level < 3 else 6.25e-5
     return prob, dt
 
 
