@@ -232,6 +232,42 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
     return nsteps / el, vals[-1], ops
 
 
+def ensemble_traj_steps_per_sec(prob, dt, v0, B=16, nsteps=300):
+    """Aggregate trajectory-steps/s of the vmapped-batch CNAB scan.
+
+    B independent trajectories ride one lax.scan: the dense inverse
+    apply becomes ONE (n, n) x (n, B) MXU matmul reading the factor
+    from HBM once for all B members (the single-trajectory step is
+    HBM/latency-bound, docs/PERF_NOTES.md) — the TPU-native form of the
+    reference's serial parameter-sweep workflow
+    (tests/start-generic-tdp-sim.sh: one process per parameter).
+    Same phantom hardening as device_steps_per_sec: perturbed inputs,
+    outputs-must-differ, median of 3.
+    """
+    from dolfin_navier_scipy_tpu.parallel.ensemble import (
+        make_ensemble_cnab_scan,
+    )
+
+    run, _ = make_ensemble_cnab_scan(prob, dt)
+    rng = np.random.default_rng(11)
+    V0 = np.stack([v0 * (1 + 1e-4 * rng.standard_normal(len(v0)))
+                   for _ in range(B)])
+    import jax
+
+    jax.block_until_ready(run(V0, nsteps))      # compile + warm
+    els, vals = [], []
+    for k in (1, 2, 3):
+        t0 = time.perf_counter()
+        V = run(V0 * (1 + k * 1e-13), nsteps)
+        jax.block_until_ready(V)
+        els.append(time.perf_counter() - t0)
+        vals.append(np.asarray(V))
+    assert not np.array_equal(vals[0], vals[1]), "axon result cache!"
+    assert np.isfinite(vals[-1]).all()
+    el = float(np.median(els))
+    return B * nsteps / el
+
+
 def measure_app_us(prob, dt, nsteps=300):
     """Session-quality probe: the in-scan cost of ONE F-application
     (element-pipeline matvec), measured as the step-time slope between
@@ -416,6 +452,17 @@ def main():
     # tunneled TPU's windows differ by multiples run-to-run; steps/s
     # is only comparable across sessions via this number)
     app_us = measure_app_us(prob, dt)
+    # batched-trajectory throughput (parameter-sweep mode): aggregate
+    # trajectory-steps/s for B vmapped members of one scan
+    ens = {}
+    for B in (16, 64, 128):
+        try:
+            agg = ensemble_traj_steps_per_sec(prob, dt, v0, B=B)
+            ens[f"B{B}_traj_steps_per_sec"] = round(agg, 1)
+            ens[f"B{B}_vs_serial_device"] = round(agg / dev, 2)
+            ens[f"B{B}_vs_baseline"] = round(agg / base, 1)
+        except Exception as e:   # never let the sweep kill the bench
+            ens[f"B{B}_error"] = repr(e)[:120]
     l2 = level_steps_per_sec(2)
     l3 = level_steps_per_sec(3, base_steps=12, oracle_steps=300)
     print(json.dumps({
@@ -432,6 +479,7 @@ def main():
         "setup_s": setup_s,
         "first_run_s": first_run_s,
         "session_app_us_lvl1": round(app_us, 1),
+        "ensemble": ens,
         "level2": l2,
         "level3": l3,
     }))

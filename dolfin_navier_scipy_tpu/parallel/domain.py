@@ -12,7 +12,17 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:                                   # jax >= 0.8 top-level API
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs,
+                  check_rep=True):
+        # the top-level API renamed check_rep -> check_vma
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs,
+                          check_vma=check_rep)
+except ImportError:                    # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.sparse import EllMatrix

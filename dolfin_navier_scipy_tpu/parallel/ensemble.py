@@ -64,3 +64,107 @@ def make_ensemble_cnab_step(prob, dt, mesh: Mesh, batch_axis="batch",
         return jax.device_put(jnp.asarray(X), spec)
 
     return step, place
+
+
+def make_ensemble_cnab_scan(prob, dt, theta=0.5, precision="accurate",
+                            mesh=None, batch_axis="batch"):
+    """Batched CNAB time loop: B independent trajectories in ONE
+    ``lax.scan`` (full-dof dense-inverse layout, increment form).
+
+    TPU rationale: a single trajectory's step is application-latency /
+    HBM-bound — the dense saddle inverse is read from HBM once per step
+    to multiply ONE vector (docs/PERF_NOTES.md section 6).  vmapping the
+    step turns that matvec into one ``(n, n) x (n, B)`` MXU matmul that
+    reads the factor once for ALL B trajectories, so aggregate
+    trajectory-steps/s scales nearly with B until the MXU saturates.
+    This is the TPU-native replacement for the reference's serial
+    parameter-sweep workflow (tests/start-generic-tdp-sim.sh +
+    time_dep_nse_generic.py: one process per parameter value) — sweeps
+    over initial conditions, inflow amplitudes, or control gains ride
+    one scan.
+
+    Restrictions: dense-inverse sizes only (``n_all <= ~20k`` dofs, the
+    single-chip dense ceiling — use :class:`ShardedSchurSolver` /
+    ``halo_cnab_scan`` for larger meshes); autonomous forcing (the
+    time-constant ``fv/fp`` of the benchmark problems).
+
+    Returns ``(run, place)``:
+
+    * ``run(V0, n)``: advance a batch ``V0 (B, nin)`` of inner
+      velocities by ``n`` CNAB steps; returns the final ``(B, nin)``
+      (increment form: f32 kernels, f64 carry in 'accurate' mode).
+    * ``place(X)``: device_put with the batch axis sharded over
+      ``mesh``'s ``batch_axis`` (single-device layout when ``mesh``
+      is None).
+    """
+    from functools import partial
+
+    from jax import lax
+
+    from ..solve.timeint import _build_ops, _kern, build_full_layout
+
+    ops = _build_ops(prob, dt, theta=theta, precision=precision,
+                     linsolver="dense", layout="full")
+    fl = build_full_layout(prob, dt, ops)
+    kern = _kern(prob, "fast")
+    nf, npp = fl["nf"], fl["npp"]
+    nin = len(prob.invinds)
+    w = ops.wdtype
+    cdtype = jnp.float32 if precision == "fast" else jnp.float64
+    nu, sym = fl["nu"], fl["sym"]
+    bundle = dict(aff=fl["aff"], Zp=fl["Zp"], fv=fl["fv"],
+                  kern=kern,
+                  fp=jnp.asarray(np.asarray(prob.fp).ravel(), w))
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        spec = NamedSharding(mesh, P(batch_axis, None))
+        bundle = jax.device_put(bundle, repl)
+    else:
+        spec = None
+
+    def one_step(b, vf, nfc_o, gp):
+        cv, av = b["kern"].vector_and_amatvec(
+            vf, nu, sym=sym,
+            fac_elem=b["aff"].fac_elem, fac_vdofs=b["aff"].fac_vdofs)
+        nfc_c = (-cv).astype(w)
+        rhs = (jnp.asarray(-dt, w) * av.astype(w)
+               + jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
+               + jnp.asarray(dt, w) * b["fv"])
+        rp = (b["fp"] - gp).astype(w)
+        sol = b["Zp"] @ jnp.concatenate([rhs, rp])
+        return vf + sol[:nf].astype(vf.dtype), nfc_c, b["fp"]
+
+    # vmap over the trajectory axis: XLA fuses the B inverse applies
+    # into one dot_general over the shared (n, n) factor
+    vstep = jax.vmap(one_step, in_axes=(None, 0, 0, 0))
+
+    @partial(jax.jit, static_argnums=3)
+    def _run(b, VF0, GP0, n):
+        NFC0 = jax.vmap(
+            lambda vf: (-b["kern"].vector(vf)).astype(w))(VF0)
+
+        def body(c, _):
+            return vstep(b, *c), None
+
+        (VF, _, _), _ = lax.scan(body, (VF0, NFC0, GP0), None, length=n)
+        return VF
+
+    import scipy.sparse as sps
+
+    Jc = sps.csr_matrix(prob.Jc)
+    vbc = prob.bc_full_vec()
+    iv = np.asarray(prob.invinds)
+
+    def place(X):
+        X = jnp.asarray(X)
+        return jax.device_put(X, spec) if spec is not None else X
+
+    def run(V0, n):
+        V0 = np.asarray(V0, np.float64)
+        GP0 = place(jnp.asarray((Jc @ V0.T).T, w))
+        VF0 = np.tile(vbc, (V0.shape[0], 1))
+        VF0[:, iv] = V0
+        VF = _run(bundle, place(jnp.asarray(VF0, cdtype)), GP0, int(n))
+        return VF[:, iv]
+
+    return run, place

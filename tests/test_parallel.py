@@ -69,6 +69,68 @@ def test_ensemble_step_matches_serial(prob):
         assert np.allclose(V1[k], np.asarray(sol[:ops.nin]), atol=1e-11)
 
 
+def test_ensemble_scan_matches_splu_oracle(prob):
+    """The batched (vmapped) CNAB scan advances B independent
+    trajectories in one lax.scan; every member must match the f64
+    splu twin of the same scheme (and members must not couple)."""
+    from dolfin_navier_scipy_tpu.ops.convection import (
+        convection_vector_host,
+    )
+    from dolfin_navier_scipy_tpu.parallel.ensemble import (
+        make_ensemble_cnab_scan,
+    )
+
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spsla
+
+    dt, nsteps, B = 1e-3, 20, 8
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = np.asarray(vss).ravel()[prob.invinds]
+    V0 = np.stack([v0 * (1 + 0.02 * k) for k in range(B)])
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("batch",))
+    run, _ = make_ensemble_cnab_scan(prob, dt, mesh=mesh)
+    V = np.asarray(run(V0, nsteps))
+
+    # f64 splu twin (same increment-free CNAB recipe as bench.py's
+    # baseline_loop / accuracy oracle)
+    nin, npp = len(prob.invinds), prob.np_cond
+    K = sps.vstack([
+        sps.hstack([sps.csc_matrix(prob.Mc + 0.5 * dt * prob.Ac),
+                    sps.csc_matrix(prob.JTc)]),
+        sps.hstack([sps.csc_matrix(prob.Jc),
+                    sps.csc_matrix((npp, npp))])]).tocsc()
+    lu = spsla.splu(K)
+    M, A = sps.csr_matrix(prob.Mc), sps.csr_matrix(prob.Ac)
+    fv = np.asarray(prob.fv).ravel()
+    fp = np.asarray(prob.fp).ravel()
+    bcv = prob.bc_full_vec()
+    for k in (0, 3, 7):
+        v = V0[k].copy()
+        full = bcv.copy()
+        full[prob.invinds] = v
+        nfc_o = -convection_vector_host(prob.ctx, full).ravel()[prob.invinds]
+        for _ in range(nsteps):
+            full = bcv.copy()
+            full[prob.invinds] = v
+            nfc_c = -convection_vector_host(
+                prob.ctx, full).ravel()[prob.invinds]
+            rhs = (M @ v - 0.5 * dt * (A @ v)
+                   + 0.5 * dt * (3 * nfc_c - nfc_o) + dt * fv)
+            sol = lu.solve(np.concatenate([rhs, fp]))
+            v, nfc_o = sol[:nin], nfc_c
+        rel = np.linalg.norm(V[k] - v) / np.linalg.norm(v)
+        # the batched scan runs the f32 convection kernel (device
+        # configuration) on O(dt) increments — same floor as
+        # test_full_layout_matches_inner
+        assert rel < 1e-6, (k, rel)
+    # batch independence: a duplicated member reproduces bit-identically
+    V2 = np.asarray(run(np.stack([V0[0]] * B), nsteps))
+    assert np.array_equal(V2[0], V2[B - 1])
+    assert np.allclose(V2[0], V[0], rtol=1e-12)
+
+
 def test_element_sharded_ops_match_serial():
     """Element-axis sharded affine/convection operators (psum reduction,
     no full-vector all-gather) reproduce the serial matvecs exactly."""
