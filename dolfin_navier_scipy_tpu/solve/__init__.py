@@ -17,6 +17,7 @@ from .timeint import (  # noqa: F401
     semi_implicit_euler,
 )
 from .nse import solve_nse  # noqa: F401
+from .adjoint import make_diff_cnab  # noqa: F401
 from .newton_ti import solve_nse_newton_ti  # noqa: F401
 from .sadpnt import apply_massinv  # noqa: F401
 from .convconts import expand_vp, get_bcinds, get_v_conv_conts  # noqa: F401
