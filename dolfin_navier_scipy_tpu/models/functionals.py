@@ -85,6 +85,93 @@ class LiftDragSurfForce:
         return -tq
 
 
+def make_inscan_liftdrag(prob, dt, charvel, theta=0.5, rho=1.0,
+                         pdrop=((0.15, 0.2), (0.25, 0.2))):
+    """In-scan per-step DFG coefficients for the full-layout CNAB scan.
+
+    Returns ``(outfunc, out_bundle)`` for :func:`..solve.timeint.cnab`'s
+    ``outfunc``/``out_bundle`` hooks: each step emits
+    ``[Cl, Cd, Delta-p]`` evaluated from quantities the scan already
+    carries.  Unlike the steady residual trick (and unlike the
+    reference, whose per-step observables drop the unsteady term —
+    tests/tdp_2D_simu.py:68-130 reuses the steady ``LiftDragSurfForce``),
+    the force here is the CONSISTENT flux of the CNAB discretization:
+    the body-row sum of
+
+        M (v_n - v_c)/dt + A (theta v_n + (1-theta) v_c)
+          + 0.5 (3 N(v_c)v_c - N(v_p)v_p) - J^T p_n - fv
+
+    which is the exact discrete counterpart of the surface traction
+    for the unsteady Schaefer-Turek benchmarks (2D-2/2D-3), including
+    the M dv/dt contribution.  All pieces pre-sum to six body-row
+    vectors, so the per-step cost is a handful of length-nf dots that
+    XLA fuses into the step's rhs work.
+    """
+    import jax.numpy as jnp
+
+    if prob.ldsbcinds is None:
+        raise ValueError("problem has no lift/drag surface")
+    lds = np.asarray(prob.ldsbcinds)
+    dim = getattr(prob.space, "dim", 2)
+    xdofs = lds[lds % dim == 0]
+    ydofs = lds[lds % dim == 1]
+    Mf, Af, JTf = prob.full["M"], prob.full["A"], prob.full["JT"]
+
+    def rowsum(mat, idx):
+        return np.asarray(mat[idx].sum(axis=0)).ravel()
+
+    jtx, jty = rowsum(JTf, xdofs), rowsum(JTf, ydofs)
+    if prob.geo.ppin is not None:          # condensed p drops the pinned
+        jtx, jty = jtx[:-1], jty[:-1]      # (last) dof, models/problem.py
+    fvb = (np.zeros(prob.nv_full) if prob.fv_body_full is None
+           else np.asarray(prob.fv_body_full).ravel())
+    # Delta-p interpolation row over the condensed pressure dofs
+    pts = np.asarray(pdrop, dtype=float)
+    cells_, bary = prob.space.mesh.locate(pts)
+    if np.any(cells_ < 0):
+        raise ValueError("pressure-drop point outside mesh")
+    wp = np.zeros(JTf.shape[1])
+    np.add.at(wp, prob.space.p1_dofmap[cells_[0]], bary[0])
+    np.add.at(wp, prob.space.p1_dofmap[cells_[1]], -bary[1])
+    if prob.geo.ppin is not None:
+        wp = wp[:-1]
+
+    f32 = jnp.float32
+    # coefficient = 2 (rho res) / (rho L U^2): the density cancels
+    fac = 2.0 / (prob.geo.charlen * charvel ** 2)
+    ob = dict(
+        mx=jnp.asarray(rowsum(Mf, xdofs), f32),
+        my=jnp.asarray(rowsum(Mf, ydofs), f32),
+        ax=jnp.asarray(rowsum(Af, xdofs), f32),
+        ay=jnp.asarray(rowsum(Af, ydofs), f32),
+        jtx=jnp.asarray(jtx, f32), jty=jnp.asarray(jty, f32),
+        wp=jnp.asarray(wp, f32),
+        xsel=jnp.asarray(xdofs), ysel=jnp.asarray(ydofs),
+        fvx=jnp.asarray(fvb[xdofs].sum(), f32),
+        fvy=jnp.asarray(fvb[ydofs].sum(), f32),
+    )
+
+    def outfunc(b, cn, co):
+        o = b["ob"]
+        vn, vc = cn["v"], co["v"]
+        # exact O(dt) difference in the carry dtype, THEN cast (the f32
+        # cast of v itself would put ~1e-4/dt noise on the M dv/dt term)
+        dvv = (vn - vc).astype(f32)
+        vc32 = vc.astype(f32)
+        vmid = vc32 + jnp.asarray(theta, f32) * dvv
+        dvdt = dvv / jnp.asarray(dt, f32)
+        # convection at the AB2 extrapolant; nfc = -N(v)v in the carry
+        conv = -(0.5 * (3.0 * cn["nfc"] - co["nfc"])).astype(f32)
+        p32 = cn["p"].astype(f32)
+        rx = (o["mx"] @ dvdt + o["ax"] @ vmid + conv[o["xsel"]].sum()
+              - o["jtx"] @ p32 - o["fvx"])
+        ry = (o["my"] @ dvdt + o["ay"] @ vmid + conv[o["ysel"]].sum()
+              - o["jty"] @ p32 - o["fvy"])
+        return jnp.stack([-fac * ry, -fac * rx, o["wp"] @ p32])
+
+    return outfunc, ob
+
+
 def pressure_drop(prob, p, a1=(0.15, 0.2), a2=(0.25, 0.2)):
     """``p(a1) - p(a2)`` — the DFG pressure-drop functional
     (steadystate_schaefer-turek_2D-1.py:104-106)."""

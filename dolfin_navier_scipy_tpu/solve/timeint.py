@@ -463,40 +463,53 @@ def _heun_bootstrap(prob, t0, t1, v0, p0, f_vdp, f_tdp, g_tdp,
                 v_pred=tv_n, p_pred=tp_n)
 
 
-@partial(jax.jit, static_argnames=("step", "save_every", "nsteps"))
-def _scan_jit(step, bundle, carry, ts, save_every, nsteps):
+@partial(jax.jit, static_argnames=("step", "save_every", "nsteps",
+                                   "outfunc"))
+def _scan_jit(step, bundle, carry, ts, save_every, nsteps, outfunc=None):
     """Scan with decimated trajectory output; ``bundle`` carries all
-    device buffers as traced pytree args."""
+    device buffers as traced pytree args.  ``outfunc(bundle, c_new,
+    c_old)`` (optional, static) is evaluated at EVERY step and its
+    stacked values returned alongside — the in-scan observable hook
+    (e.g. per-step lift/drag, models/functionals.make_inscan_liftdrag)
+    replacing the reference's per-step host callbacks
+    (tests/tdp_2D_simu.py:68-130)."""
+
+    def body(cc, t):
+        cn = step(bundle, cc, t)
+        return cn, (None if outfunc is None else outfunc(bundle, cn, cc))
+
     if save_every is None or save_every <= 0:
-        carry = lax.scan(lambda c, t: (step(bundle, c, t), None),
-                         carry, ts)[0]
-        return carry, None
+        carry, outs = lax.scan(body, carry, ts)
+        return carry, None, outs
     k = save_every
     nfull = nsteps // k
-    ys = None
+    ys, outs = None, None
     if nfull:
         def chunk(c, tchunk):
-            c = lax.scan(lambda cc, t: (step(bundle, cc, t), None),
-                         c, tchunk)[0]
-            return c, (c["v"], c["p"])
+            c, o = lax.scan(body, c, tchunk)
+            return c, ((c["v"], c["p"]), o)
 
-        carry, ys = lax.scan(chunk, carry,
-                             ts[: nfull * k].reshape(nfull, k))
+        carry, (ys, outs) = lax.scan(chunk, carry,
+                                     ts[: nfull * k].reshape(nfull, k))
+        if outfunc is not None:
+            outs = outs.reshape((nfull * k,) + outs.shape[2:])
     if nsteps % k:
-        carry = lax.scan(lambda c, t: (step(bundle, c, t), None),
-                         carry, ts[nfull * k:])[0]
-    return carry, ys
+        carry, otail = lax.scan(body, carry, ts[nfull * k:])
+        if outfunc is not None:
+            outs = (otail if outs is None
+                    else jnp.concatenate([outs, otail], axis=0))
+    return carry, ys, outs
 
 
-def _run_scan(step, bundle, carry, ts, save_every):
+def _run_scan(step, bundle, carry, ts, save_every, outfunc=None):
     n = len(ts)
-    carry, ys = _scan_jit(step, bundle, carry, jnp.asarray(ts),
-                          save_every, n)
+    carry, ys, outs = _scan_jit(step, bundle, carry, jnp.asarray(ts),
+                                save_every, n, outfunc)
     if ys is None:
-        return carry, None, None
+        return carry, None, None, outs
     k = save_every
     tout = np.asarray(ts[: (n // k) * k]).reshape(-1, k)[:, -1]
-    return carry, ys, tout
+    return carry, ys, tout, outs
 
 
 def _wrap_feedback(ops, umat, vmat, c):
@@ -547,8 +560,15 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
          inv_dtype=None, refine=None, ops=None, precision="accurate",
          linsolver="auto", state_layout="auto", warm_refine=0,
          resume_carry=None, umat=None, vmat=None,
+         outfunc=None, out_bundle=None,
          verbose=False, **kw):
     """Crank-Nicolson / Adams-Bashforth-2 (reference time_int_utils.py:23).
+
+    ``outfunc(bundle, c_new, c_old)``: optional per-step observable
+    evaluated INSIDE the scan (stacked into the returned ``outs``; see
+    models/functionals.make_inscan_liftdrag).  ``out_bundle`` is a
+    pytree of device buffers made available as ``bundle['ob']`` (pass
+    large arrays here, never close over them — remote-compile limits).
 
     ``warm_refine``: short residual-correction rounds appended to each
     in-scan warm Schur solve (full-layout block-Schur path only) — buys
@@ -584,7 +604,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
     ops, fbk = _wrap_feedback(ops, umat, vmat, c=0.5 * dt)
     nin = len(prob.invinds)
     cn = _consts(prob, controls)
-    bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn, fbk=fbk)
+    bundle = dict(ops=ops, kern=_kern(prob, precision), cn=cn, fbk=fbk,
+                  ob=out_bundle)
     has_c = bool(controls)
     f_vdp_b = _make_f_vdp(stokes_flow, nin)
     f_tdp, g_tdp, dynamic_rhs, npc = _zero_fns(prob, f_tdp, g_tdp,
@@ -633,7 +654,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                   else _kern(prob, "accurate"))
         fb = dict(aff=fl["aff"], Zp=fl["Zp"], ZpT=fl.get("ZpT"),
                   slv=ops.solver, fv=fl["fv"], kern=kern_w,
-                  fp=jnp.asarray(np.asarray(prob.fp).ravel()))
+                  fp=jnp.asarray(np.asarray(prob.fp).ravel()),
+                  ob=out_bundle)
         vf0 = np.asarray(prob.bc_full_vec()).copy()
         vf0[prob.invinds] = np.asarray(bs["v"])
         vf0 = jnp.asarray(vf0)
@@ -700,8 +722,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         if schur_full:
             carry["ysol"] = jnp.zeros((nf,), fl["w"])
             carry["ysol_p"] = jnp.zeros((nf,), fl["w"])
-        carry, ys, tout = _run_scan(fstep, fb, carry, trange[2:],
-                                    save_every)
+        carry, ys, tout, outs = _run_scan(fstep, fb, carry, trange[2:],
+                                          save_every, outfunc)
         inv = prob.invinds
         return dict(
             v=carry["v"][jnp.asarray(inv)], p=carry["p"],
@@ -709,6 +731,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
             times=tout,
             vs=None if ys is None else ys[0][:, np.asarray(inv)],
             ps=None if ys is None else ys[1],
+            outs=outs, out_times=np.asarray(trange[2:]),
             bootstrap=bs, ops=ops, carry=carry,
         )
 
@@ -775,12 +798,14 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
     else:
         carry = _restore_carry(resume_carry)
         ts = trange[1:]
-    carry, ys, tout = _run_scan(step, bundle, carry, ts, save_every)
+    carry, ys, tout, outs = _run_scan(step, bundle, carry, ts, save_every,
+                                      outfunc)
 
     return dict(
         v=carry["v"], p=carry["p"], ffflag=bool(carry["flag"]),
         times=tout, vs=None if ys is None else ys[0],
         ps=None if ys is None else ys[1],
+        outs=outs, out_times=np.asarray(ts),
         bootstrap=bs, ops=ops, carry=carry,
     )
 
@@ -899,7 +924,7 @@ def sbdf2(trange=None, prob=None, inivel=None, inip=None,
     else:
         carry = _restore_carry(resume_carry)
         ts = trange[1:]
-    carry, ys, tout = _run_scan(step, bundle, carry, ts, save_every)
+    carry, ys, tout, _ = _run_scan(step, bundle, carry, ts, save_every)
     return dict(
         v=carry["v"], p=carry["p"], ffflag=bool(carry["flag"]),
         times=tout, vs=None if ys is None else ys[0],
@@ -938,7 +963,8 @@ def semi_implicit_euler(trange=None, prob=None, inivel=None, rhs_tv=None,
     v0 = jnp.asarray(np.asarray(inivel).ravel())
     carry = dict(v=v0, p=jnp.zeros((prob.np_cond,)),
                  gp=jnp.asarray(prob.Jc @ np.asarray(v0)))
-    carry, ys, tout = _run_scan(step, bundle, carry, trange[1:], save_every)
+    carry, ys, tout, _ = _run_scan(step, bundle, carry, trange[1:],
+                                   save_every)
     return dict(v=carry["v"], p=carry["p"], times=tout,
                 vs=None if ys is None else ys[0],
                 ps=None if ys is None else ys[1], ops=ops)
