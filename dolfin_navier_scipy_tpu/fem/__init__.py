@@ -12,4 +12,4 @@ from .reference import (  # noqa: F401
     shape_p2,
     dshape_p2,
 )
-from .dofmap import TaylorHoodSpace  # noqa: F401
+from .dofmap import TaylorHoodSpace, interpolate_velocity  # noqa: F401

@@ -304,3 +304,83 @@ class CrouzeixRaviartSpace:
             N = shape_cr(rp[None, :])[0]
             out[i] = N @ v2[self.p2_dofmap[c]]
         return out
+
+
+# -- mesh-continuation interpolation (host, one-time setup) -----------------
+
+def _locate_clipped(mesh, points, k=32, tol=1e-10):
+    """Containing (or nearest) cell + barycentric coords per point.
+
+    Candidate cells come from a KD-tree over cell centroids; among the
+    candidates the cell maximizing ``min(bary)`` is chosen.  Points that
+    fall outside the mesh (e.g. nodes on a finer level's curved-boundary
+    approximation) get the best candidate with the barycentric
+    coordinates clipped to the element — a continuous nearest-cell
+    extension adequate for warm starts.  Returns ``(cells, bary,
+    inside)`` with ``bary`` of shape ``(n, d+1)``.
+    """
+    from scipy.spatial import cKDTree
+
+    pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    n, d = pts.shape
+    v = mesh.verts[mesh.cells]                       # (nc, d+1, d)
+    kk = min(k, len(v))
+    _, cand = cKDTree(v.mean(axis=1)).query(pts, k=kk)
+    cand = cand.reshape(n, kk)
+    v0 = v[cand, 0]                                  # (n, kk, d)
+    r = pts[:, None, :] - v0
+    if d == 2:
+        e1, e2 = v[cand, 1] - v0, v[cand, 2] - v0
+
+        def _x2(a, b):
+            return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+        det = _x2(e1, e2)
+        b1 = _x2(r, e2) / det
+        b2 = _x2(e1, r) / det
+        bary = np.stack([1.0 - b1 - b2, b1, b2], axis=2)
+    else:
+        E = np.stack([v[cand, j] - v0 for j in (1, 2, 3)], axis=3)
+        xi = np.linalg.solve(E, r[..., None])[..., 0]
+        bary = np.concatenate([1.0 - xi.sum(-1, keepdims=True), xi],
+                              axis=2)
+    score = bary.min(axis=2)                         # (n, kk)
+    best = score.argmax(axis=1)
+    rows = np.arange(n)
+    cells = cand[rows, best]
+    b = np.clip(bary[rows, best], 0.0, None)
+    b /= b.sum(axis=1, keepdims=True)
+    return cells, b, score[rows, best] >= -tol
+
+
+def interpolate_velocity(v_from, space_from, space_to):
+    """P2-interpolate a velocity field between Taylor-Hood spaces.
+
+    The TPU-native mesh-continuation device: solve on a coarse level,
+    interpolate, and hand the result to ``solve_steadystate_nse(...,
+    vel_start_nwtn=...)`` on the fine level — Newton then converges in
+    a couple of iterations where a cold start needs a full
+    Picard+Newton sweep.  (The reference only has parameter
+    continuation: Re-continuation in tests/steadystate_generic.py:16-50
+    and nu-continuation in tests/steadystate_rotcyl.py:90-102; mesh
+    continuation has no counterpart there.)
+
+    ``v_from`` is the interleaved full-dof velocity on ``space_from``;
+    returns the interleaved full-dof velocity on ``space_to`` (evaluate
+    at every target P2 node).  Works for 2D and 3D spaces; target nodes
+    outside the source mesh (curved-boundary refinement mismatch) take
+    clipped nearest-cell values (see :func:`_locate_clipped`).
+    """
+    from .reference import shape_p2
+    from .reference3d import shape_p2_3d
+
+    pts = np.asarray(space_to.p2_coords, dtype=np.float64)
+    d = pts.shape[1]
+    cells, bary, _ = _locate_clipped(space_from.mesh, pts)
+    if d == 2:
+        N = shape_p2(bary[:, 1:3])                   # (n, 6)
+    else:
+        N = shape_p2_3d(bary[:, 1:4])                # (n, 10)
+    vloc = np.asarray(v_from, dtype=np.float64).reshape(-1, d)[
+        space_from.p2_dofmap[cells]]                 # (n, nloc, d)
+    return np.einsum("nl,nld->nd", N, vloc).ravel()
