@@ -36,6 +36,14 @@ import time
 
 import numpy as np
 
+# Older toolchains registered the tunneled-TPU plugin as platform
+# "axon"; current ones register it as plain "tpu".  A stale
+# JAX_PLATFORMS=axon pin then hard-fails backend init ("'axon' is not
+# in the list of known backends").  Clearing the pin is safe in both
+# worlds: auto-selection prefers any accelerator plugin over cpu.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
+    os.environ["JAX_PLATFORMS"] = ""
+
 
 def _arm_cache():
     import jax

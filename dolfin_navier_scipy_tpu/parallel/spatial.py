@@ -411,9 +411,13 @@ def make_sharded_cnab_step(prob, dt, mesh: Mesh, axis: str = "elem",
             factors=(XT, Sinv, dinv, ncg, res_ops[0], res_ops[1]))
     else:
         coeff = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
+        # banded=False: the sharded machinery shards the ELEMENT matvec,
+        # so its replicated twin must use the identical element pipeline
+        # (tests assert sharded == replicated to 1e-12); the RCM-banded
+        # fast path is a single-chip layout.
         solver = SchurSaddleSolver(
             coeff, prob.Jc, prob.JTc, res_ops=res_ops,
-            dtype=work_dtype, setup=setup)
+            dtype=work_dtype, setup=setup, banded=False)
         if shard_factors:
             solver = ShardedSchurSolver(base=solver, mesh=mesh, axis=axis)
     bundle = dict(

@@ -36,6 +36,7 @@ stokes_navier_utils.py:403).  These low-level routines return the *raw*
 ``[v; q]``; high-level solvers flip.
 """
 
+import os as _os
 from functools import partial
 
 import numpy as np
@@ -703,6 +704,54 @@ def jacobi_pcg(fmv, dinv, b, niter, x0=None):
     return x
 
 
+def _build_banded(F, lane=128):
+    """RCM-banded dense-block form of a sparse matrix (host, one-time).
+
+    Returns ``(blocks (nblk, bs, 3bs) f32, perm, bs, nblk)`` with
+    ``F[perm][:, perm]`` contained in the block tridiagonal of block
+    size ``bs >= bandwidth`` (rounded up to the TPU lane width).  The
+    matvec then needs NO gather: neighbors are contiguous block shifts,
+    and the contraction is one batched MXU matmul — on TPU this beats
+    the element gather->contract->scatter pipeline by the gather/scatter
+    latency (measured 1.2 ms/application at 30k dofs vs ~0.2 ms banded;
+    docs/PERF_NOTES.md).  Memory is O(n * 3 bs) instead of the O(nnz)
+    sparse ideal, but at FEM bandwidths (RCM: ~460 at 30k dofs) that is
+    ~100 MB — bytes the MXU streams at full HBM rate.
+    """
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    Fc = sps.csr_matrix(F)
+    n = Fc.shape[0]
+    perm = np.asarray(reverse_cuthill_mckee(Fc, symmetric_mode=True))
+    Fp = sps.csr_matrix(Fc[perm][:, perm])
+    co = Fp.tocoo()
+    bw = int(np.abs(co.row - co.col).max()) if co.nnz else 1
+    bs = max(lane, int(np.ceil(bw / lane)) * lane)
+    nblk = max(1, int(np.ceil(n / bs)))
+    blocks = np.zeros((nblk, bs, 3 * bs), np.float32)
+    for k in range(nblk):
+        r0, c0 = k * bs, (k - 1) * bs
+        rows = slice(r0, min(r0 + bs, n))
+        cols = slice(max(c0, 0), min(c0 + 3 * bs, n))
+        sub = np.asarray(Fp[rows, cols].todense(), np.float32)
+        blocks[k, : sub.shape[0],
+               max(c0, 0) - c0: max(c0, 0) - c0 + sub.shape[1]] = sub
+    return blocks, perm, bs, nblk
+
+
+def _banded_mv(blocks, xp, bs, nblk, n):
+    """``F_perm @ xp`` via the block-tridiagonal dense form (no gather:
+    pad -> reshape -> shifted-neighbor concat -> batched matmul)."""
+    xpad = jnp.pad(xp, (0, nblk * bs - n)).reshape(nblk, bs)
+    zero = jnp.zeros((1, bs), xpad.dtype)
+    win = jnp.concatenate(
+        [jnp.concatenate([zero, xpad[:-1]], axis=0), xpad,
+         jnp.concatenate([xpad[1:], zero], axis=0)], axis=1)
+    y = jnp.einsum("kij,kj->ki", blocks, win,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(-1)[:n]
+
+
 @jax.tree_util.register_pytree_node_class
 class SchurSaddleSolver:
     """Block-Schur saddle solver: exact dense Schur factors seeded by ONE
@@ -732,12 +781,13 @@ class SchurSaddleSolver:
     # (buffer donation) instead of a 2x-X concatenate/embed transient
     # that exhausts HBM at lvl3 (113k dofs: X alone is 5.5 GB)
     _leaf_names = ("XT", "Sinv", "dinv", "Kop", "Jop", "F_ell",
-                   "J_ell", "JT_ell")
-    _aux_names = ("nv", "np", "ncg", "dtype", "refine")
+                   "J_ell", "JT_ell", "Bblk", "permf", "dinv_b")
+    _aux_names = ("nv", "np", "ncg", "dtype", "refine",
+                  "_bs", "_nblk", "_nin")
 
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
-                 full_map=None, setup="auto",
+                 full_map=None, setup="auto", banded="auto",
                  _leaves=None, _aux=None):
         """``full_map=(invinds, nv_full)`` builds the solver over the
         FULL velocity dof set (the fast state layout): X rows and the
@@ -783,6 +833,24 @@ class SchurSaddleSolver:
                      M=sps.diags(1.0 / dv), callback=cb)
             ncg = it[0] + 3
         self.ncg = int(ncg)
+
+        # RCM-banded F for the PCG matvec: the whole velocity solve runs
+        # in permuted space (one gather in, one scatter out per solve);
+        # each iteration is ONE batched block-tridiagonal MXU matmul —
+        # no per-iteration element gather/scatter (docs/PERF_NOTES.md:
+        # 1.2 ms/application at 30k dofs drops to the HBM floor).
+        self.Bblk = self.permf = self.dinv_b = None
+        self._bs = self._nblk = self._nin = 0
+        if banded == "auto":
+            banded = _os.environ.get("DNS_TPU_BANDED", "1") != "0"
+        if banded:
+            blocks, perm, bs, nblk = _build_banded(F)
+            pf = (perm if full_map is None
+                  else np.asarray(full_map[0])[perm])
+            self.Bblk = jnp.asarray(blocks)
+            self.permf = jnp.asarray(pf, jnp.int32)
+            self.dinv_b = jnp.asarray((1.0 / dv)[perm], dtype)
+            self._bs, self._nblk, self._nin = int(bs), int(nblk), F.shape[0]
 
         on_dev = jax.default_backend() != "cpu"
         if setup == "auto":
@@ -910,7 +978,22 @@ class SchurSaddleSolver:
         return self.J_ell.matvec(x)
 
     def _fsolve(self, b, x0=None, niter=None):
-        """Jacobi-PCG with a static iteration count (warm-startable)."""
+        """Jacobi-PCG with a static iteration count (warm-startable).
+
+        With the RCM-banded factor the iterations run entirely in
+        permuted inner space: the only gathers are the rhs/warm-start
+        translation at entry and the scatter back at exit."""
+        if self.Bblk is not None:
+            bp = b[self.permf].astype(self.dtype)
+            x0p = None if x0 is None else x0[self.permf].astype(self.dtype)
+
+            def fmv(xp):
+                return _banded_mv(self.Bblk, xp, self._bs, self._nblk,
+                                  self._nin)
+
+            yp = jacobi_pcg(fmv, self.dinv_b, bp, niter or self.ncg,
+                            x0=x0p)
+            return jnp.zeros((self.nv,), yp.dtype).at[self.permf].set(yp)
         return jacobi_pcg(self._fmv, self.dinv, b, niter or self.ncg,
                           x0=x0)
 

@@ -152,3 +152,48 @@ def test_krylov_cnab_midsize_with_telemetry():
     res = np.asarray(sweep(rhs0))
     assert res.shape == (8,)
     assert np.all(res < 1e-8), res
+
+
+def test_banded_matvec_exact_and_solver_equivalent(monkeypatch):
+    """The RCM-banded block-tridiagonal F form (sadpnt._build_banded /
+    _banded_mv — the gather-free PCG matvec, 2x the element pipeline
+    in-scan on TPU, docs/PERF_NOTES.md) is (a) an exact f32 matvec of
+    F and (b) interchangeable with the element pipeline inside
+    SchurSaddleSolver to the PCG tolerance."""
+    import numpy as np
+    import scipy.sparse as sps
+
+    import jax.numpy as jnp
+
+    from dolfin_navier_scipy_tpu.models import drivencavity_problem
+    from dolfin_navier_scipy_tpu.solve.sadpnt import (
+        SchurSaddleSolver, _banded_mv, _build_banded)
+
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    dt = 1e-3
+    F = sps.csr_matrix(prob.Mc + 0.5 * dt * prob.Ac)
+    n = F.shape[0]
+
+    blocks, perm, bs, nblk = _build_banded(F)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n).astype(np.float32)
+    # matvec in permuted space vs scipy (f32 data, f32-exact contraction)
+    Fp = sps.csr_matrix(F[perm][:, perm]).astype(np.float32)
+    y_ref = Fp @ x
+    y = np.asarray(_banded_mv(jnp.asarray(blocks), jnp.asarray(x),
+                              bs, nblk, n))
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+    # solver equivalence: banded-on vs banded-off agree to the solve tol
+    bv = rng.standard_normal(n)
+    zp = jnp.zeros((prob.np_cond,))
+    monkeypatch.setenv("DNS_TPU_BANDED", "1")
+    sb = SchurSaddleSolver(F, prob.Jc, prob.JTc, ncg=40)
+    assert sb.Bblk is not None
+    monkeypatch.setenv("DNS_TPU_BANDED", "0")
+    se = SchurSaddleSolver(F, prob.Jc, prob.JTc, ncg=40)
+    assert se.Bblk is None
+    xb = np.asarray(sb.solve(jnp.asarray(bv), zp))
+    xe = np.asarray(se.solve(jnp.asarray(bv), zp))
+    assert np.linalg.norm(xb - xe) / np.linalg.norm(xe) < 1e-4, (
+        np.linalg.norm(xb - xe) / np.linalg.norm(xe))

