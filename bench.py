@@ -169,7 +169,10 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
             nfc0 = (-b["kern"].vector(s0)).astype(jnp.float32)
             c0 = (s0, nfc0, gp0)
             if schur_full:
-                c0 = c0 + (jnp.zeros((nf,), wd), jnp.zeros((nf,), wd))
+                # banded solvers carry the warm start in PERMUTED inner
+                # space (solver.warm_size); opaque to this loop
+                ysz = getattr(ops.solver, "warm_size", nf)
+                c0 = c0 + (jnp.zeros((ysz,), wd), jnp.zeros((ysz,), wd))
             out, _ = lax.scan(lambda c, x: step(b, c, x),
                               c0, None, length=n)
             return out[0]

@@ -752,6 +752,53 @@ def _banded_mv(blocks, xp, bs, nblk, n):
     return y.reshape(-1)[:n]
 
 
+def _build_banded_rect(A, row_order, col_order, bs_r, lane=128):
+    """Static-window dense-block form of a RECTANGULAR sparse matrix.
+
+    Under locality-consistent row/col orders (e.g. pressure rows sorted
+    by the mean RCM position of their velocity couplings), row block
+    ``k`` of ``A[row_order][:, col_order]`` only touches a contiguous
+    column window.  Store ``blocks (nblk, bs_r, w)`` plus the STATIC
+    per-block window base — the matvec is ``nblk`` static slices + ONE
+    batched MXU matmul, no gather (the TPU-hostile op).  Used for the
+    J / J^T applications of the block-Schur solve (the element forms
+    cost ~10-40x at lvl2+, docs/PERF_NOTES.md new-toolchain table).
+
+    Returns ``(blocks, bases (tuple of int), w, ncols_pad)``.
+    """
+    Ap = sps.csr_matrix(sps.csr_matrix(A)[row_order][:, col_order])
+    nr, ncl = Ap.shape
+    nblk = max(1, (nr + bs_r - 1) // bs_r)
+    spans = []
+    for k in range(nblk):
+        sub = Ap[k * bs_r: min((k + 1) * bs_r, nr)].tocoo()
+        spans.append((int(sub.col.min()), int(sub.col.max()) + 1)
+                     if sub.nnz else (0, 1))
+    w = max(hi - lo for lo, hi in spans)
+    w = max(lane, int(np.ceil(w / lane)) * lane)
+    ncl_pad = max(ncl, w)
+    bases = []
+    blocks = np.zeros((nblk, bs_r, w), np.float32)
+    for k, (lo, hi) in enumerate(spans):
+        b = min(max(lo, 0), ncl_pad - w)
+        bases.append(int(b))
+        sub = np.asarray(
+            Ap[k * bs_r: min((k + 1) * bs_r, nr),
+               b: min(b + w, ncl)].todense(), np.float32)
+        blocks[k, : sub.shape[0], : sub.shape[1]] = sub
+    return blocks, tuple(bases), w, ncl_pad
+
+
+def _rect_mv(blocks, bases, w, nrows, ncl_pad, x):
+    """``A_perm @ x`` via the static-window block form (slices + one
+    batched matmul; ``bases`` are compile-time constants)."""
+    xpad = jnp.pad(x, (0, ncl_pad - x.shape[0]))
+    xw = jnp.stack([jax.lax.slice(xpad, (b,), (b + w,)) for b in bases])
+    y = jnp.einsum("kij,kj->ki", blocks, xw,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(-1)[:nrows]
+
+
 @jax.tree_util.register_pytree_node_class
 class SchurSaddleSolver:
     """Block-Schur saddle solver: exact dense Schur factors seeded by ONE
@@ -781,9 +828,12 @@ class SchurSaddleSolver:
     # (buffer donation) instead of a 2x-X concatenate/embed transient
     # that exhausts HBM at lvl3 (113k dofs: X alone is 5.5 GB)
     _leaf_names = ("XT", "Sinv", "dinv", "Kop", "Jop", "F_ell",
-                   "J_ell", "JT_ell", "Bblk", "permf", "dinv_b")
+                   "J_ell", "JT_ell", "Bblk", "permf", "dinv_b",
+                   "Jb", "JTb", "pidx")
     _aux_names = ("nv", "np", "ncg", "dtype", "refine",
-                  "_bs", "_nblk", "_nin")
+                  "_bs", "_nblk", "_nin",
+                  "_bsp", "_nblkp", "_wj", "_jbases", "_ncolpad_j",
+                  "_wjt", "_jtbases", "_ncolpad_jt")
 
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
@@ -834,15 +884,23 @@ class SchurSaddleSolver:
             ncg = it[0] + 3
         self.ncg = int(ncg)
 
-        # RCM-banded F for the PCG matvec: the whole velocity solve runs
-        # in permuted space (one gather in, one scatter out per solve);
-        # each iteration is ONE batched block-tridiagonal MXU matmul —
-        # no per-iteration element gather/scatter (docs/PERF_NOTES.md:
-        # 1.2 ms/application at 30k dofs drops to the HBM floor).
+        # BANDED mode: the whole solve runs in RCM-permuted space with
+        # dense-block banded forms of F (block tridiagonal), J and J^T
+        # (static-window rect blocks) — every application is slices +
+        # ONE batched MXU matmul, no element gather/scatter (the
+        # TPU-hostile ops: element forms cost ~10-40x at lvl2+,
+        # docs/PERF_NOTES.md).  S^-1 and X^T are built directly in the
+        # permuted layout; the only translations are the rhs gather at
+        # entry and the solution scatter at exit.
         self.Bblk = self.permf = self.dinv_b = None
+        self.Jb = self.JTb = self.pidx = None
         self._bs = self._nblk = self._nin = 0
+        self._bsp = self._nblkp = 0
+        self._wj = self._ncolpad_j = self._wjt = self._ncolpad_jt = 0
+        self._jbases = self._jtbases = ()
         if banded == "auto":
             banded = _os.environ.get("DNS_TPU_BANDED", "1") != "0"
+        perm = pp = None
         if banded:
             blocks, perm, bs, nblk = _build_banded(F)
             pf = (perm if full_map is None
@@ -851,6 +909,30 @@ class SchurSaddleSolver:
             self.permf = jnp.asarray(pf, jnp.int32)
             self.dinv_b = jnp.asarray((1.0 / dv)[perm], dtype)
             self._bs, self._nblk, self._nin = int(bs), int(nblk), F.shape[0]
+            # pressure order: sort J's rows by the mean RCM position of
+            # their velocity couplings — J / J^T then band under the
+            # (pp, perm) orders like F does under (perm, perm)
+            ipos = np.empty(nv, np.int64)
+            ipos[perm] = np.arange(nv)
+            Jcsr = sps.csr_matrix(J)
+            mpos = np.zeros(npp)
+            for i in range(npp):
+                s0, e0 = Jcsr.indptr[i], Jcsr.indptr[i + 1]
+                if e0 > s0:
+                    mpos[i] = ipos[Jcsr.indices[s0:e0]].mean()
+            pp = np.argsort(mpos, kind="stable")
+            self.pidx = jnp.asarray(pp, jnp.int32)
+            bsp = 128
+            jb, jbases, wj, njpad = _build_banded_rect(J, pp, perm, bsp)
+            self.Jb = jnp.asarray(jb)
+            self._bsp, self._nblkp = bsp, int(jb.shape[0])
+            self._wj, self._jbases, self._ncolpad_j = (
+                int(wj), jbases, int(njpad))
+            jtb, jtbases, wjt, njtpad = _build_banded_rect(
+                jT, perm, pp, bs)
+            self.JTb = jnp.asarray(jtb)
+            self._wjt, self._jtbases, self._ncolpad_jt = (
+                int(wjt), jtbases, int(njtpad))
 
         on_dev = jax.default_backend() != "cpu"
         if setup == "auto":
@@ -860,15 +942,24 @@ class SchurSaddleSolver:
         if setup == "device":
             if full_map is not None:
                 self.nv = full_map[1]
-            cmap = (None if full_map is None
-                    else np.asarray(full_map[0]))
+            if banded:
+                # factors built directly in permuted layout: permuted
+                # pressure rows via J/J^T reordered on host, permuted
+                # X^T columns via the builder's colmap
+                J = sps.csr_matrix(J)[pp]
+                jT = sps.csc_matrix(jT)[:, pp]
+                cmap = np.argsort(perm).astype(np.int32)
+            else:
+                cmap = (None if full_map is None
+                        else np.asarray(full_map[0]))
             # ORDER matters for peak HBM at lvl3+: build + invert S
             # while nothing big is alive, THEN build the (multi-GB) X^T
             # — the block inversion's call-local scratch (~8 GB at
             # np=13k) and X^T must never coexist (docs: the axon result
             # cache retains call outputs, so staging is the memory tool)
             _, S = _build_schur_factors_device(
-                F, J, jT, 1.0 / dv, self.ncg, out_cols=self.nv,
+                F, J, jT, 1.0 / dv, self.ncg,
+                out_cols=nv if banded else self.nv,
                 colmap=cmap, want="S")
             hi, lo = _equilibrate_inv_staged(S, 2)
             _delete_buffers(S)
@@ -884,22 +975,36 @@ class SchurSaddleSolver:
             self.Sinv.block_until_ready()
             _delete_buffers(hi, lo)
             XT, _ = _build_schur_factors_device(
-                F, J, jT, 1.0 / dv, self.ncg, out_cols=self.nv,
+                F, J, jT, 1.0 / dv, self.ncg,
+                out_cols=nv if banded else self.nv,
                 colmap=cmap, want="X")
             self.XT = (tuple(p.astype(dtype) for p in XT)
                        if isinstance(XT, tuple) else XT.astype(dtype))
         else:
             lu = spsla.splu(F)
-            X = lu.solve(np.asarray(jT.todense()))           # (nv, np)
-            S = np.asarray(J @ X)                            # (np, np), SPD
-            if full_map is not None:
-                invinds, nv_full = full_map
-                XTf = np.zeros((npp, nv_full))
-                XTf[:, np.asarray(invinds)] = X.T
-                self.nv = nv_full
-                self.XT = jnp.asarray(XTf, dtype)
+            if banded:
+                # factors in permuted layout: pp pressure rows, RCM
+                # velocity columns (inner size — no bc zero-padding; the
+                # permuted core never sees the full dof set)
+                X = lu.solve(np.asarray(
+                    sps.csc_matrix(jT)[:, pp].todense()))    # (nv, np)
+                S = np.asarray(sps.csr_matrix(J)[pp] @ X)
+                self.XT = jnp.asarray(
+                    np.ascontiguousarray(X.T[:, perm]), dtype)
+                if full_map is not None:
+                    self.nv = full_map[1]
             else:
-                self.XT = jnp.asarray(np.ascontiguousarray(X.T), dtype)
+                X = lu.solve(np.asarray(jT.todense()))       # (nv, np)
+                S = np.asarray(J @ X)                        # (np,np), SPD
+                if full_map is not None:
+                    invinds, nv_full = full_map
+                    XTf = np.zeros((npp, nv_full))
+                    XTf[:, np.asarray(invinds)] = X.T
+                    self.nv = nv_full
+                    self.XT = jnp.asarray(XTf, dtype)
+                else:
+                    self.XT = jnp.asarray(np.ascontiguousarray(X.T),
+                                          dtype)
             use_device_sinv = npp > 3000 and on_dev
             if use_device_sinv:
                 # single-core host inv(np^3) takes minutes at lvl2+; the
@@ -931,13 +1036,19 @@ class SchurSaddleSolver:
             dinvf = np.zeros(self.nv)
             dinvf[np.asarray(full_map[0])] = 1.0 / dv
             self.dinv = jnp.asarray(dinvf, dtype)
-            if res_ops is None:
+            if res_ops is None and not banded:
                 raise ValueError("full_map requires full-dof res_ops")
         else:
             self.dinv = jnp.asarray(1.0 / dv, dtype)
 
         if res_ops is not None:
             self.Kop, self.Jop = res_ops
+            self.F_ell = self.J_ell = self.JT_ell = None
+        elif banded:
+            # the banded forms cover every application (incl. refine
+            # residuals); no element/ELL fallbacks needed.  NOTE: J/jT
+            # may have been permuted above — do not reuse them here.
+            self.Kop = self.Jop = None
             self.F_ell = self.J_ell = self.JT_ell = None
         else:
             from ..ops.sparse import ell_from_scipy_fast
@@ -1027,6 +1138,57 @@ class SchurSaddleSolver:
             lo += p.shape[0]
         return y
 
+    # ---- permuted banded core: every application is slices + one
+    # batched MXU matmul; no gathers inside (docs/PERF_NOTES.md) ----
+
+    @property
+    def warm_size(self):
+        """Length of the warm-start vector ``y`` threaded through
+        :meth:`solve_warm` (permuted inner size in banded mode)."""
+        return self._nin if self.Bblk is not None else self.nv
+
+    def _fmv_perm(self, xp):
+        return _banded_mv(self.Bblk, xp, self._bs, self._nblk, self._nin)
+
+    def _jmv_perm(self, xp):
+        return _rect_mv(self.Jb, self._jbases, self._wj, self.np,
+                        self._ncolpad_j, xp)
+
+    def _jtmv_perm(self, qp):
+        return _rect_mv(self.JTb, self._jtbases, self._wjt, self._nin,
+                        self._ncolpad_jt, qp)
+
+    def _solve_core_perm(self, bvp, bpp, y0p=None, niter=None,
+                         refine=0, niter_ref=None):
+        """All-permuted solve: rhs/solution in RCM velocity order and
+        pp pressure order.  Returns ``(v_perm, q_perm, y_perm)``."""
+        y = jacobi_pcg(self._fmv_perm, self.dinv_b, bvp,
+                       niter or self.ncg, x0=y0p)
+        q = self._sapply(self._jmv_perm(y) - bpp)
+        v = y - self._xapply(q)
+        for _ in range(refine):
+            rv = bvp - (self._fmv_perm(v) + self._jtmv_perm(q))
+            rp = bpp - self._jmv_perm(v)
+            # scale the correction to O(1) (f32 denormal stall on TPU)
+            s = jnp.sqrt(jnp.mean(rv * rv) + jnp.mean(rp * rp)
+                         + jnp.asarray(1e-30, rv.dtype))
+            y2 = jacobi_pcg(self._fmv_perm, self.dinv_b, rv / s,
+                            niter_ref or niter or self.ncg)
+            q2 = self._sapply(self._jmv_perm(y2) - rp / s)
+            v = v + s * (y2 - self._xapply(q2))
+            q = q + s * q2
+        return v, q, y
+
+    def _perm_in(self, rhsv, rhsp):
+        bv = rhsv.reshape(-1).astype(self.dtype)
+        bp = rhsp.reshape(-1).astype(self.dtype)
+        return bv[self.permf], bp[self.pidx]
+
+    def _perm_out(self, v, q):
+        vo = jnp.zeros((self.nv,), v.dtype).at[self.permf].set(v)
+        qo = jnp.zeros((self.np,), q.dtype).at[self.pidx].set(q)
+        return jnp.concatenate([vo, qo])
+
     def _base_solve(self, bv, bp):
         y = self._fsolve(bv)
         q = self._sapply(self._jmv(y) - bp)
@@ -1035,6 +1197,10 @@ class SchurSaddleSolver:
 
     def solve(self, rhsv, rhsp):
         """Raw stacked ``[v; q]`` like :class:`InverseSaddleSolver`."""
+        if self.Bblk is not None:
+            bvp, bpp = self._perm_in(rhsv, rhsp)
+            v, q, _ = self._solve_core_perm(bvp, bpp, refine=self.refine)
+            return self._perm_out(v, q)
         bv = rhsv.reshape(-1).astype(self.dtype)
         bp = rhsp.reshape(-1).astype(self.dtype)
         v, q = self._base_solve(bv, bp)
@@ -1071,7 +1237,16 @@ class SchurSaddleSolver:
         Schur tail).  One round with ``niter_ref~niter`` roughly
         doubles the step cost and cuts the trajectory-error floor of
         the f32 Schur path by ~an order of magnitude (the floor is the
-        in-step solve tolerance, docs/PERF_NOTES.md section 4.3)."""
+        in-step solve tolerance, docs/PERF_NOTES.md section 4.3).
+
+        Banded mode: ``y0``/returned ``y`` live in PERMUTED inner space
+        (length :attr:`warm_size`) — thread them opaquely."""
+        if self.Bblk is not None:
+            bvp, bpp = self._perm_in(rhsv, rhsp)
+            v, q, y = self._solve_core_perm(
+                bvp, bpp, y0p=y0, niter=niter or self.ncg_warm,
+                refine=refine, niter_ref=niter_ref)
+            return self._perm_out(v, q), y
         bv = rhsv.reshape(-1).astype(self.dtype)
         bp = rhsp.reshape(-1).astype(self.dtype)
         y = self._fsolve(bv, x0=y0, niter=niter or self.ncg_warm)

@@ -720,8 +720,11 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         carry = dict(v=vf0, p=bs["p"], nfc=nfc0, gp=bs["gp"],
                      flag=jnp.asarray(False))
         if schur_full:
-            carry["ysol"] = jnp.zeros((nf,), fl["w"])
-            carry["ysol_p"] = jnp.zeros((nf,), fl["w"])
+            # banded solvers thread the PCG warm start in PERMUTED
+            # inner space (solver.warm_size); the carry is opaque
+            ysz = getattr(ops.solver, "warm_size", nf)
+            carry["ysol"] = jnp.zeros((ysz,), fl["w"])
+            carry["ysol_p"] = jnp.zeros((ysz,), fl["w"])
         carry, ys, tout, outs = _run_scan(fstep, fb, carry, trange[2:],
                                           save_every, outfunc)
         inv = prob.invinds

@@ -150,10 +150,11 @@ def test_schur_solver_matches_dense(cavity):
     assert not o_schur["ffflag"]
     rel = (np.linalg.norm(np.asarray(o_schur["v"]) - np.asarray(o_dense["v"]))
            / np.linalg.norm(np.asarray(o_dense["v"])))
-    # 1e-8: the default RCM-banded PCG matvec sums in permuted order,
-    # shifting the f32 rounding vs the element pipeline (~3e-9 over
-    # this horizon); both are refined solves of the same system.
-    assert rel < 1e-8, rel
+    # 1e-7: the default banded solver runs wholly in RCM-permuted space
+    # (banded F/J/J^T), shifting the f32 rounding vs the element
+    # pipeline (~3e-8 over this horizon); both are refined solves of
+    # the same system (single-solve floor ~1e-7 vs the f64 oracle).
+    assert rel < 1e-7, rel
 
 
 def test_schur_device_setup_matches_host(cavity):
