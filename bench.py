@@ -126,11 +126,35 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
         else:
             fl = build_full_layout(prob, dt, ops)
         nf, npp = fl["nf"], fl["npp"]
-        bundle = dict(aff=fl["aff"], Zp=fl["Zp"], slv=ops.solver,
-                      fv=fl["fv"], kern=kern,
-                      fp=jnp.asarray(np.asarray(prob.fp).ravel()))
+        # PERMUTED state layout (mirrors solve/timeint.py use_w): the
+        # banded solver's rhs is a slice of the step rhs; element
+        # tables re-indexed once; no per-solve gather/scatter
+        use_w = (schur_full
+                 and getattr(ops.solver, "Bblk", None) is not None)
+        fp_nat = jnp.asarray(np.asarray(prob.fp).ravel())
+        fv_use = fl["fv"]
+        facv = fl["aff"].fac_vdofs
         vf0 = prob.bc_full_vec()
         vf0[prob.invinds] = v0
+        if use_w:
+            slv = ops.solver
+            wsrc = np.concatenate([
+                np.asarray(slv.permf),
+                np.setdiff1d(np.arange(prob.nv_full),
+                             np.asarray(prob.invinds))]).astype(np.int64)
+            iposx = np.full(prob.nv_full + 1, prob.nv_full, np.int32)
+            iposx[wsrc] = np.arange(prob.nv_full, dtype=np.int32)
+            kern = kern.with_dof_map(jnp.asarray(iposx))
+            if facv is not None:
+                facv = jnp.asarray(iposx)[
+                    jnp.minimum(facv, prob.nv_full)]
+            fv_use = fl["fv"][jnp.asarray(wsrc)]
+            fp_nat = fp_nat[jnp.asarray(np.asarray(slv.pidx))]
+            gp0 = gp0[jnp.asarray(np.asarray(slv.pidx))]
+            vf0 = vf0[wsrc]
+        bundle = dict(aff=fl["aff"], Zp=fl["Zp"], slv=ops.solver,
+                      fv=fv_use, kern=kern, facv=facv,
+                      fp=fp_nat)
         state0 = jnp.asarray(vf0, cdtype)
 
         nu = float(prob.nu)
@@ -142,7 +166,7 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
             # gather and one stacked scatter
             cv, av = b["kern"].vector_and_amatvec(
                 vf, nu, sym=sym,
-                fac_elem=b["aff"].fac_elem, fac_vdofs=b["aff"].fac_vdofs)
+                fac_elem=b["aff"].fac_elem, fac_vdofs=b["facv"])
             nfc_c = (-cv).astype(jnp.float32)
             rhs = (jnp.float32(-dt) * av.astype(jnp.float32)
                    + jnp.float32(0.5 * dt) * (3.0 * nfc_c - nfc_o)
@@ -154,6 +178,16 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
                 )
 
                 ysol, ysol_p = carry[3], carry[4]
+                if use_w:
+                    dvp, _, y_n = b["slv"].solve_warm_wspace(
+                        rhs, rp, 2.0 * ysol - ysol_p,
+                        niter=(niter_warm or _NITER_WARM),
+                        refine=warm_refine)
+                    dv = jnp.concatenate(
+                        [dvp, jnp.zeros((nf - dvp.shape[0],),
+                                        dvp.dtype)])
+                    return (vf + dv.astype(vf.dtype), nfc_c, b["fp"],
+                            y_n, ysol), None
                 sol, y_n = b["slv"].solve_warm(rhs, rp,
                                                2.0 * ysol - ysol_p,
                                                niter=(niter_warm
@@ -193,7 +227,8 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
             vals.append(np.asarray(vf))
         assert not np.array_equal(vals[0], vals[1]), "axon result cache!"
         el = float(np.median(els))
-        v = vals[-1][prob.invinds]
+        v = (vals[-1][iposx[np.asarray(prob.invinds)]] if use_w
+             else vals[-1][prob.invinds])
         assert np.isfinite(v).all()
         return nsteps / el, v, ops
 

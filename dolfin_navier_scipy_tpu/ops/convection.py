@@ -172,6 +172,19 @@ class ConvectionKernel:
          obj.nc_real, obj.dim) = aux
         return obj
 
+    def with_dof_map(self, dofmap):
+        """Clone with the element velocity-dof tables re-indexed.
+
+        ``dofmap (nv_full+1,) int32``: old full dof id -> new position
+        (the permuted state layout; slot ``nv_full`` stays the dropped
+        padding segment).  Gathers and the scatter then read/write the
+        permuted state directly — no per-step translation."""
+        leaves, aux = self.tree_flatten()
+        new = self.tree_unflatten(aux, leaves)
+        new.vd = dofmap[jnp.minimum(self.vd, self.nv_full)]
+        new.vdofs_flat = new.vd.reshape(-1)
+        return new
+
     def _bmm(self, X, Wblk, out_dim):
         Xb = X.reshape(self.nc // self.blk, -1)
         return (Xb @ Wblk).reshape(self.nc, out_dim)

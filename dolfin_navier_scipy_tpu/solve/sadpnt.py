@@ -789,6 +789,34 @@ def _build_banded_rect(A, row_order, col_order, bs_r, lane=128):
     return blocks, tuple(bases), w, ncl_pad
 
 
+def _xt_parts_to_banded(parts, bases, bs, nblk, wx, nin):
+    """Fold device-built ``X^T`` row-parts (pressure rows, permuted
+    velocity cols) into the velocity-row-block banded layout
+    ``(nblk, bs, wx)`` — static slices only, one jit per part (small
+    retained outputs; the parts are deleted by the caller)."""
+    Xb = jnp.zeros((nblk, bs, wx), jnp.float32)
+    lo = 0
+    for p in parts:
+        hi = lo + int(p.shape[0])
+
+        def fold(p, Xb, lo=lo, hi=hi):
+            for kb in range(nblk):
+                b = bases[kb]
+                s, e = max(b, lo), min(b + wx, hi)
+                r0, ce = kb * bs, min(kb * bs + bs, nin)
+                if s >= e or r0 >= ce:
+                    continue
+                sub = jax.lax.slice(p, (s - lo, r0), (e - lo, ce))
+                Xb = jax.lax.dynamic_update_slice(
+                    Xb, jnp.transpose(sub)[None].astype(Xb.dtype),
+                    (kb, 0, s - b))
+            return Xb
+
+        Xb = jax.jit(fold)(p, Xb)
+        lo = hi
+    return Xb
+
+
 def _rect_mv(blocks, bases, w, nrows, ncl_pad, x):
     """``A_perm @ x`` via the static-window block form (slices + one
     batched matmul; ``bases`` are compile-time constants)."""
@@ -829,11 +857,12 @@ class SchurSaddleSolver:
     # that exhausts HBM at lvl3 (113k dofs: X alone is 5.5 GB)
     _leaf_names = ("XT", "Sinv", "dinv", "Kop", "Jop", "F_ell",
                    "J_ell", "JT_ell", "Bblk", "permf", "dinv_b",
-                   "Jb", "JTb", "pidx")
+                   "Jb", "JTb", "pidx", "Xb")
     _aux_names = ("nv", "np", "ncg", "dtype", "refine",
                   "_bs", "_nblk", "_nin",
                   "_bsp", "_nblkp", "_wj", "_jbases", "_ncolpad_j",
-                  "_wjt", "_jtbases", "_ncolpad_jt")
+                  "_wjt", "_jtbases", "_ncolpad_jt",
+                  "_wx", "_xbases", "_ncolpad_x")
 
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
@@ -893,11 +922,13 @@ class SchurSaddleSolver:
         # permuted layout; the only translations are the rhs gather at
         # entry and the solution scatter at exit.
         self.Bblk = self.permf = self.dinv_b = None
-        self.Jb = self.JTb = self.pidx = None
+        self.Jb = self.JTb = self.pidx = self.Xb = None
         self._bs = self._nblk = self._nin = 0
         self._bsp = self._nblkp = 0
         self._wj = self._ncolpad_j = self._wjt = self._ncolpad_jt = 0
         self._jbases = self._jtbases = ()
+        self._wx = self._ncolpad_x = 0
+        self._xbases = ()
         if banded == "auto":
             banded = _os.environ.get("DNS_TPU_BANDED", "1") != "0"
         perm = pp = None
@@ -933,6 +964,45 @@ class SchurSaddleSolver:
             self.JTb = jnp.asarray(jtb)
             self._wjt, self._jtbases, self._ncolpad_jt = (
                 int(wjt), jtbases, int(njtpad))
+            # banded X: F = M + theta dt A is mass-dominated at
+            # CFL-scale dt, so F^{-1} decays EXPONENTIALLY off the
+            # diagonal and X = F^{-1} J^T is banded to the f32 floor
+            # within a few F-bandwidths (measured: max column
+            # truncation 3.6e-7 at +-4bs on lvl1, 2.9e-6 at +-5bs on
+            # lvl2, docs/PERF_NOTES.md) — 12x fewer bytes than dense
+            # X at lvl3 (0.45 GB vs 5.3 GB), which is the step's
+            # largest HBM read.  The window is measured by PROBING a
+            # few exact columns of X with host CG (the decay rate
+            # depends on dt nu / h^2, so a fixed factor misjudges
+            # off-CFL steps); DNS_TPU_XBAND_K floors the margin.
+            kdec = int(_os.environ.get("DNS_TPU_XBAND_K", "4"))
+            ncols_probe = min(8, npp)
+            pcols = np.unique(np.linspace(0, npp - 1,
+                                          ncols_probe).astype(int))
+            jTc = sps.csc_matrix(jT)
+            Mdiag = sps.diags(1.0 / dv)
+            ipos_v = np.empty(nv, np.int64)
+            ipos_v[perm] = np.arange(nv)
+            hw = 0
+            for c in pcols:
+                col = np.asarray(
+                    jTc[:, int(pp[c])].todense()).ravel()
+                xc, _ = spsla.cg(F, col, rtol=1e-10, atol=0.0,
+                                 maxiter=400, M=Mdiag)
+                xn = np.abs(xc[perm])
+                big = np.nonzero(xn > 1e-7 * xn.max())[0]
+                if len(big):
+                    hw = max(hw, int(np.abs(big - mpos[pp[c]]).max()))
+            # probes sample the decay; 1.5x margin + K*bs floor covers
+            # unprobed columns (the host path verifies and warns; the
+            # increment-form refine rounds absorb residual truncation)
+            wx = int(3 * hw) * npp // nv + wjt + 2 * kdec * bs * npp // nv
+            wx = min(int(np.ceil(wx / 128)) * 128, njtpad)
+            xbases = tuple(
+                min(max(b + (wjt - wx) // 2, 0), njtpad - wx)
+                for b in jtbases)
+            self._wx, self._xbases, self._ncolpad_x = (
+                int(wx), xbases, int(njtpad))
 
         on_dev = jax.default_backend() != "cpu"
         if setup == "auto":
@@ -978,19 +1048,50 @@ class SchurSaddleSolver:
                 F, J, jT, 1.0 / dv, self.ncg,
                 out_cols=nv if banded else self.nv,
                 colmap=cmap, want="X")
-            self.XT = (tuple(p.astype(dtype) for p in XT)
-                       if isinstance(XT, tuple) else XT.astype(dtype))
+            if banded:
+                parts = XT if isinstance(XT, tuple) else (XT,)
+                self.Xb = _xt_parts_to_banded(
+                    parts, self._xbases, self._bs, self._nblk,
+                    self._wx, nv)
+                self.Xb.block_until_ready()
+                _delete_buffers(*parts)
+                self.XT = None
+            else:
+                self.XT = (tuple(p.astype(dtype) for p in XT)
+                           if isinstance(XT, tuple) else XT.astype(dtype))
         else:
             lu = spsla.splu(F)
             if banded:
                 # factors in permuted layout: pp pressure rows, RCM
                 # velocity columns (inner size — no bc zero-padding; the
-                # permuted core never sees the full dof set)
+                # permuted core never sees the full dof set); X stored
+                # BANDED (exact to the f32 floor, see the window note in
+                # the banded init block)
                 X = lu.solve(np.asarray(
                     sps.csc_matrix(jT)[:, pp].todense()))    # (nv, np)
                 S = np.asarray(sps.csr_matrix(J)[pp] @ X)
-                self.XT = jnp.asarray(
-                    np.ascontiguousarray(X.T[:, perm]), dtype)
+                Xp = np.asarray(X, np.float32)[perm]
+                xb = np.zeros((self._nblk, self._bs, self._wx),
+                              np.float32)
+                for kb, b in enumerate(self._xbases):
+                    r0 = kb * self._bs
+                    sub = Xp[r0: min(r0 + self._bs, nv),
+                             b: min(b + self._wx, npp)]
+                    xb[kb, : sub.shape[0], : sub.shape[1]] = sub
+                # f64 accumulation: the two sums are nearly equal and
+                # f32 accumulation noise (~sqrt(eps)) would read as a
+                # spurious 3e-4 "truncation"
+                tot = float((Xp.astype(np.float64) ** 2).sum()) or 1.0
+                kept = float((xb.astype(np.float64) ** 2).sum())
+                trunc = np.sqrt(max(tot - kept, 0.0) / tot)
+                if trunc > 1e-4:
+                    import warnings
+
+                    warnings.warn(
+                        f"banded-X truncation {trunc:.1e} above 1e-4; "
+                        "raise DNS_TPU_XBAND_K")
+                self.Xb = jnp.asarray(xb)
+                self.XT = None
                 if full_map is not None:
                     self.nv = full_map[1]
             else:
@@ -1125,7 +1226,12 @@ class SchurSaddleSolver:
     def _xapply(self, q):
         """``X @ q`` via the transposed factor (one MXU vecmat per
         row-part; multi-GB factors are stored as ROW-PARTS because the
-        full-size concatenate peaks at 2x X during setup — lvl3 OOM)."""
+        full-size concatenate peaks at 2x X during setup — lvl3 OOM).
+        Banded mode: X is stored banded (exact to the f32 floor) —
+        static window slices + one batched matmul."""
+        if self.Xb is not None:
+            return _rect_mv(self.Xb, self._xbases, self._wx, self._nin,
+                            self._ncolpad_x, q)
         parts = self.XT if isinstance(self.XT, tuple) else (self.XT,)
         npad = sum(p.shape[0] for p in parts)
         if npad != self.np:
@@ -1177,6 +1283,20 @@ class SchurSaddleSolver:
             q2 = self._sapply(self._jmv_perm(y2) - rp / s)
             v = v + s * (y2 - self._xapply(q2))
             q = q + s * q2
+        return v, q, y
+
+    def solve_warm_wspace(self, rhs_w, bpp, y0, niter=None, refine=0,
+                          niter_ref=None):
+        """Warm solve for the PERMUTED state layout: ``rhs_w``'s first
+        ``_nin`` entries ARE the permuted inner rhs (a slice, no
+        gather), ``bpp`` is already pp-ordered.  Returns
+        ``(dv_perm (nin,), q_pp (np,), y_perm)`` — the caller pads the
+        increment onto its bc tail."""
+        bvp = rhs_w[: self._nin].astype(self.dtype)
+        v, q, y = self._solve_core_perm(
+            bvp, bpp.astype(self.dtype), y0p=y0,
+            niter=niter or self.ncg_warm, refine=refine,
+            niter_ref=niter_ref)
         return v, q, y
 
     def _perm_in(self, rhsv, rhsp):

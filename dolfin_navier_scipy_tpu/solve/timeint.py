@@ -652,18 +652,48 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         nf = fl["nf"]
         kern_w = (_kern(prob, "fast") if fl["w"] == jnp.float32
                   else _kern(prob, "accurate"))
+        # PERMUTED state layout (w-space): with the banded Schur solver
+        # the state lives as [v_inner in RCM order; bc dofs] — the
+        # solver's rhs is then a SLICE of the step's rhs (no per-solve
+        # gather/scatter at all), the element tables are re-indexed once
+        # at build, and natural order is restored only at save/exit.
+        use_w = (schur_full
+                 and getattr(ops.solver, "Bblk", None) is not None)
+        fp_nat = jnp.asarray(np.asarray(prob.fp).ravel())
+        if use_w:
+            slv = ops.solver
+            wsrc = np.concatenate([
+                np.asarray(slv.permf),
+                np.setdiff1d(np.arange(prob.nv_full),
+                             np.asarray(prob.invinds))]).astype(np.int64)
+            iposx = np.full(prob.nv_full + 1, prob.nv_full, np.int32)
+            iposx[wsrc] = np.arange(prob.nv_full, dtype=np.int32)
+            qpos = np.argsort(np.asarray(slv.pidx))   # pp -> natural
+            kern_w = kern_w.with_dof_map(jnp.asarray(iposx))
+            aff_fac_vdofs = fl["aff"].fac_vdofs
+            if aff_fac_vdofs is not None:
+                aff_fac_vdofs = jnp.asarray(iposx)[
+                    jnp.minimum(aff_fac_vdofs, prob.nv_full)]
+            fv_use = fl["fv"][jnp.asarray(wsrc)]
+            fp_use = fp_nat[jnp.asarray(np.asarray(slv.pidx))]
+        else:
+            aff_fac_vdofs = fl["aff"].fac_vdofs
+            fv_use = fl["fv"]
+            fp_use = fp_nat
         fb = dict(aff=fl["aff"], Zp=fl["Zp"], ZpT=fl.get("ZpT"),
-                  slv=ops.solver, fv=fl["fv"], kern=kern_w,
-                  fp=jnp.asarray(np.asarray(prob.fp).ravel()),
+                  slv=ops.solver, fv=fv_use, kern=kern_w,
+                  fp=fp_use, facv=aff_fac_vdofs,
                   ob=out_bundle)
         vf0 = np.asarray(prob.bc_full_vec()).copy()
         vf0[prob.invinds] = np.asarray(bs["v"])
-        vf0 = jnp.asarray(vf0)
         # the AB2 "previous convection" entering the first step is the
         # one at the ORIGINAL v0, not at the bootstrapped state
         # (time_int_utils.py:78+:112)
         v00 = np.asarray(prob.bc_full_vec()).copy()
         v00[prob.invinds] = np.asarray(v0)
+        if use_w:
+            vf0, v00 = vf0[wsrc], v00[wsrc]
+        vf0 = jnp.asarray(vf0)
         nfc0 = (-kern_w.vector(jnp.asarray(v00))).astype(fl["w"])
 
         def fstep(b, c, t):
@@ -673,13 +703,25 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
             # gather and one stacked scatter
             cv, av = b["kern"].vector_and_amatvec(
                 vf, fl["nu"], sym=fl["sym"],
-                fac_elem=b["aff"].fac_elem, fac_vdofs=b["aff"].fac_vdofs)
+                fac_elem=b["aff"].fac_elem, fac_vdofs=b["facv"])
             nfc_c = (-cv).astype(w)
             rhs = (jnp.asarray(-dt, w) * av.astype(w)
                    + jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
                    + jnp.asarray(dt, w) * b["fv"])
             rp = (b["fp"] - c["gp"]).astype(w)
-            if schur_full:
+            if use_w:
+                # permuted layout: the solver consumes rhs[:nin] as a
+                # SLICE and returns the permuted inner increment + the
+                # pp-ordered raw pressure (natural order restored only
+                # at save/exit)
+                y0 = 2.0 * c["ysol"] - c["ysol_p"]
+                dvp, q_pp, y_n = b["slv"].solve_warm_wspace(
+                    rhs, rp, y0, niter=_NITER_WARM, refine=warm_refine)
+                v_n = vf + jnp.concatenate(
+                    [dvp, jnp.zeros((nf - dvp.shape[0],), dvp.dtype)]
+                ).astype(vf.dtype)
+                p_n = (-q_pp / dt).astype(c["p"].dtype)
+            elif schur_full:
                 # warm-start the PCG by LINEAR EXTRAPOLATION of the two
                 # previous F-solves: consecutive increment solves differ
                 # by O(dt), the extrapolated start by O(dt^2) — 6 Jacobi
@@ -704,8 +746,9 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
             else:
                 sol = b["Zp"] @ jnp.concatenate([rhs, rp])
                 y_n = None
-            v_n = vf + sol[:nf].astype(vf.dtype)
-            p_n = (-sol[nf:] / dt).astype(c["p"].dtype)
+            if not use_w:
+                v_n = vf + sol[:nf].astype(vf.dtype)
+                p_n = (-sol[nf:] / dt).astype(c["p"].dtype)
             nrm = jnp.linalg.norm(v_n)
             bad = jnp.logical_or(nrm > check_ff_maxv, jnp.isnan(nrm))
             flag = jnp.logical_or(c["flag"], bad)
@@ -717,7 +760,23 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                 out["ysol_p"] = jnp.where(flag, c["ysol_p"], c["ysol"])
             return out
 
-        carry = dict(v=vf0, p=bs["p"], nfc=nfc0, gp=bs["gp"],
+        p0, gp0 = bs["p"], bs["gp"]
+        outfunc_use = outfunc
+        if use_w:
+            pidx_j = jnp.asarray(np.asarray(ops.solver.pidx))
+            p0 = jnp.asarray(p0)[pidx_j]
+            gp0 = jnp.asarray(gp0)[pidx_j]
+            if outfunc is not None:
+                # outfunc's contract is NATURAL-ordered (v_full, p);
+                # translate per step only when observables are on
+                qpos_j = jnp.asarray(qpos)
+                ip_j = jnp.asarray(iposx[: prob.nv_full])
+
+                def outfunc_use(b, cn, cc, _of=outfunc):
+                    cn2 = dict(cn, v=cn["v"][ip_j], p=cn["p"][qpos_j])
+                    cc2 = dict(cc, v=cc["v"][ip_j], p=cc["p"][qpos_j])
+                    return _of(b, cn2, cc2)
+        carry = dict(v=vf0, p=p0, nfc=nfc0, gp=gp0,
                      flag=jnp.asarray(False))
         if schur_full:
             # banded solvers thread the PCG warm start in PERMUTED
@@ -726,14 +785,25 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
             carry["ysol"] = jnp.zeros((ysz,), fl["w"])
             carry["ysol_p"] = jnp.zeros((ysz,), fl["w"])
         carry, ys, tout, outs = _run_scan(fstep, fb, carry, trange[2:],
-                                          save_every, outfunc)
+                                          save_every, outfunc_use)
         inv = prob.invinds
+        if use_w:
+            # restore natural order once, at exit (and per saved row)
+            v_end = carry["v"][jnp.asarray(iposx[np.asarray(inv)])]
+            p_end = carry["p"][jnp.asarray(qpos)]
+            vs = None if ys is None else ys[0][
+                :, np.asarray(iposx[np.asarray(inv)])]
+            ps = None if ys is None else ys[1][:, np.asarray(qpos)]
+        else:
+            v_end = carry["v"][jnp.asarray(inv)]
+            p_end = carry["p"]
+            vs = None if ys is None else ys[0][:, np.asarray(inv)]
+            ps = None if ys is None else ys[1]
         return dict(
-            v=carry["v"][jnp.asarray(inv)], p=carry["p"],
+            v=v_end, p=p_end,
             ffflag=bool(carry["flag"]),
             times=tout,
-            vs=None if ys is None else ys[0][:, np.asarray(inv)],
-            ps=None if ys is None else ys[1],
+            vs=vs, ps=ps,
             outs=outs, out_times=np.asarray(trange[2:]),
             bootstrap=bs, ops=ops, carry=carry,
         )

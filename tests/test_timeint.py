@@ -169,9 +169,9 @@ def test_schur_device_setup_matches_host(cavity):
     dt = 1e-3
     F = sps.csr_matrix(prob.Mc + 0.5 * dt * prob.Ac)
     host = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc,
-                             setup="host")
+                             setup="host", banded=False)
     dev = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc,
-                            setup="device")
+                            setup="device", banded=False)
     npp = host.np
     xrel = float(jnp.abs(dev.XT[:npp] - host.XT[:npp]).max()
                  / jnp.abs(host.XT).max())
@@ -184,6 +184,20 @@ def test_schur_device_setup_matches_host(cavity):
     xh, xd = host.solve(bv, bp), dev.solve(bv, bp)
     rel = float(jnp.abs(xh - xd).max() / jnp.abs(xh).max())
     assert rel < 1e-3, rel
+    # banded twins (permuted space, banded X): host-seeded vs
+    # device-built factors agree through the public solve, and match
+    # the element-path solve to the banded-X truncation floor
+    hb = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc,
+                           setup="host", banded=True)
+    db = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc,
+                           setup="device", banded=True)
+    assert hb.Xb is not None and hb.XT is None
+    assert db.Xb is not None and db.XT is None
+    xhb, xdb = hb.solve(bv, bp), db.solve(bv, bp)
+    relb = float(jnp.abs(xhb - xdb).max() / jnp.abs(xhb).max())
+    assert relb < 1e-3, relb
+    rel_he = float(jnp.abs(xhb - xh).max() / jnp.abs(xh).max())
+    assert rel_he < 1e-3, rel_he
 
 
 def test_increment_form_is_divergence_free(cavity):
