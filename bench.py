@@ -115,11 +115,20 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
             build_full_layout,
         )
 
+        split = (schur_full
+                 and getattr(ops.solver, "Eblk", None) is not None)
         if schur_full:
-            fvbc = -np.asarray(prob.full["A"]
-                               @ prob.bc_full_vec()).ravel()[prob.invinds]
             fvf = np.zeros(prob.nv_full)
-            fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
+            if split:
+                # conv/A split (solve/timeint.py): banded diffusion on
+                # inner rows; the constant A_ib bc coupling cancels the
+                # fvbc fold
+                fvf[prob.invinds] = np.asarray(prob.fv).ravel()
+            else:
+                fvbc = -np.asarray(
+                    prob.full["A"]
+                    @ prob.bc_full_vec()).ravel()[prob.invinds]
+                fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
             fl = dict(aff=ops.full_schur, Zp=None,
                       fv=jnp.asarray(fvf, jnp.float32),
                       nf=prob.nv_full, npp=prob.np_cond)
@@ -160,17 +169,30 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
         nu = float(prob.nu)
         sym = bool(getattr(prob, "gradvsymmtrc", True))
 
+        nin_p = getattr(ops.solver, "_nin", 0) if schur_full else 0
+
         def step(b, carry, _):
             vf, nfc_o, gp = carry[0], carry[1], carry[2]
-            # fused element pipeline: convection + stiffness share the
-            # gather and one stacked scatter
-            cv, av = b["kern"].vector_and_amatvec(
-                vf, nu, sym=sym,
-                fac_elem=b["aff"].fac_elem, fac_vdofs=b["facv"])
-            nfc_c = (-cv).astype(jnp.float32)
-            rhs = (jnp.float32(-dt) * av.astype(jnp.float32)
-                   + jnp.float32(0.5 * dt) * (3.0 * nfc_c - nfc_o)
-                   + jnp.float32(dt) * b["fv"])
+            if split:
+                # conv/A split: convection-only element pipeline +
+                # banded diffusion matvec (solve/timeint.py twin)
+                cv = b["kern"].vector(vf)
+                nfc_c = (-cv).astype(jnp.float32)
+                av_i = b["slv"].band_extra_mv(vf[:nin_p])
+                rhs = (jnp.float32(0.5 * dt) * (3.0 * nfc_c - nfc_o)
+                       + jnp.float32(dt) * b["fv"])
+                rhs = rhs.at[:nin_p].add(
+                    jnp.float32(-dt) * av_i.astype(jnp.float32))
+            else:
+                # fused element pipeline: convection + stiffness share
+                # the gather and one stacked scatter
+                cv, av = b["kern"].vector_and_amatvec(
+                    vf, nu, sym=sym,
+                    fac_elem=b["aff"].fac_elem, fac_vdofs=b["facv"])
+                nfc_c = (-cv).astype(jnp.float32)
+                rhs = (jnp.float32(-dt) * av.astype(jnp.float32)
+                       + jnp.float32(0.5 * dt) * (3.0 * nfc_c - nfc_o)
+                       + jnp.float32(dt) * b["fv"])
             rp = (b["fp"] - gp).astype(jnp.float32)
             if schur_full:
                 from dolfin_navier_scipy_tpu.solve.timeint import (

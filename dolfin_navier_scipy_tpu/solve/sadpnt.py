@@ -728,6 +728,16 @@ def _build_banded(F, lane=128):
     bw = int(np.abs(co.row - co.col).max()) if co.nnz else 1
     bs = max(lane, int(np.ceil(bw / lane)) * lane)
     nblk = max(1, int(np.ceil(n / bs)))
+    return _fold_banded_blocks(Fp, n, bs, nblk), perm, bs, nblk
+
+
+def _fold_banded_blocks(Fp, n, bs, nblk):
+    """Fold an (already permuted) sparse matrix into the block-
+    tridiagonal dense layout ``(nblk, bs, 3bs)``.  Entries outside the
+    tridiagonal window (|row - col| > bs) would be silently dropped —
+    callers must guarantee the bandwidth (checked in
+    :func:`_build_banded` via ``bs >= bw``; asserted for extra
+    same-window folds)."""
     blocks = np.zeros((nblk, bs, 3 * bs), np.float32)
     for k in range(nblk):
         r0, c0 = k * bs, (k - 1) * bs
@@ -736,7 +746,7 @@ def _build_banded(F, lane=128):
         sub = np.asarray(Fp[rows, cols].todense(), np.float32)
         blocks[k, : sub.shape[0],
                max(c0, 0) - c0: max(c0, 0) - c0 + sub.shape[1]] = sub
-    return blocks, perm, bs, nblk
+    return blocks
 
 
 def _banded_mv(blocks, xp, bs, nblk, n):
@@ -857,7 +867,7 @@ class SchurSaddleSolver:
     # that exhausts HBM at lvl3 (113k dofs: X alone is 5.5 GB)
     _leaf_names = ("XT", "Sinv", "dinv", "Kop", "Jop", "F_ell",
                    "J_ell", "JT_ell", "Bblk", "permf", "dinv_b",
-                   "Jb", "JTb", "pidx", "Xb")
+                   "Jb", "JTb", "pidx", "Xb", "Eblk")
     _aux_names = ("nv", "np", "ncg", "dtype", "refine",
                   "_bs", "_nblk", "_nin",
                   "_bsp", "_nblkp", "_wj", "_jbases", "_ncolpad_j",
@@ -867,7 +877,7 @@ class SchurSaddleSolver:
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
                  full_map=None, setup="auto", banded="auto",
-                 _leaves=None, _aux=None):
+                 band_extra=None, _leaves=None, _aux=None):
         """``full_map=(invinds, nv_full)`` builds the solver over the
         FULL velocity dof set (the fast state layout): X rows and the
         Jacobi diagonal are zero-padded onto the bc dofs — the zero
@@ -922,7 +932,7 @@ class SchurSaddleSolver:
         # permuted layout; the only translations are the rhs gather at
         # entry and the solution scatter at exit.
         self.Bblk = self.permf = self.dinv_b = None
-        self.Jb = self.JTb = self.pidx = self.Xb = None
+        self.Jb = self.JTb = self.pidx = self.Xb = self.Eblk = None
         self._bs = self._nblk = self._nin = 0
         self._bsp = self._nblkp = 0
         self._wj = self._ncolpad_j = self._wjt = self._ncolpad_jt = 0
@@ -937,6 +947,21 @@ class SchurSaddleSolver:
             pf = (perm if full_map is None
                   else np.asarray(full_map[0])[perm])
             self.Bblk = jnp.asarray(blocks)
+            if band_extra is not None:
+                # companion banded operator for the EXPLICIT part of the
+                # time step (conv/A split: the diffusion matvec rides
+                # this instead of the element pipeline — a banded
+                # application costs ~1/10 of the element form at lvl2+,
+                # docs/PERF_NOTES.md section 8).  Same perm/window as F:
+                # band_extra's sparsity must be contained in F's
+                # (F = M + theta dt band_extra guarantees it).
+                Ep = sps.csr_matrix(
+                    sps.csr_matrix(band_extra)[perm][:, perm])
+                eco = Ep.tocoo()
+                if eco.nnz and int(np.abs(eco.row - eco.col).max()) > bs:
+                    raise ValueError("band_extra exceeds F's band window")
+                self.Eblk = jnp.asarray(
+                    _fold_banded_blocks(Ep, F.shape[0], bs, nblk))
             self.permf = jnp.asarray(pf, jnp.int32)
             self.dinv_b = jnp.asarray((1.0 / dv)[perm], dtype)
             self._bs, self._nblk, self._nin = int(bs), int(nblk), F.shape[0]
@@ -1255,6 +1280,12 @@ class SchurSaddleSolver:
 
     def _fmv_perm(self, xp):
         return _banded_mv(self.Bblk, xp, self._bs, self._nblk, self._nin)
+
+    def band_extra_mv(self, xp):
+        """``band_extra_perm @ xp`` (permuted inner space) — the explicit
+        operator registered at construction (conv/A split)."""
+        return _banded_mv(self.Eblk, xp.astype(self.dtype), self._bs,
+                          self._nblk, self._nin)
 
     def _jmv_perm(self, xp):
         return _rect_mv(self.Jb, self._jbases, self._wj, self.np,

@@ -176,7 +176,8 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                 coeff, prob.Jc, prob.JTc,
                 res_ops=(fop, afful.view("j")),
                 dtype=work_dtype,
-                full_map=(prob.invinds, prob.nv_full))
+                full_map=(prob.invinds, prob.nv_full),
+                band_extra=prob.Ac)
             ops = TimeIntOps(solver=solver, M=afful.view("m"),
                              A=afful.view("a"), dt=dt, theta=theta,
                              wdtype=work_dtype)
@@ -636,13 +637,23 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         # problems take the generic inner path)
         and getattr(ops.solver, "res_ops", None) is not None))
     if use_full:
+        split = (schur_full
+                 and getattr(ops.solver, "Eblk", None) is not None)
         if schur_full:
             afful = ops.full_schur
             w = ops.wdtype
-            fvbc = -np.asarray(prob.full["A"]
-                               @ prob.bc_full_vec()).ravel()[prob.invinds]
             fvf = np.zeros(prob.nv_full)
-            fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
+            if split:
+                # conv/A split: the explicit diffusion rides the BANDED
+                # A (inner rows only) — the constant A_ib bc coupling
+                # then cancels the fvbc fold exactly:
+                # -dt (A v)_i + dt (fv + A_ib v_bc) = -dt A_ii v_i + dt fv
+                fvf[prob.invinds] = np.asarray(prob.fv).ravel()
+            else:
+                fvbc = -np.asarray(
+                    prob.full["A"]
+                    @ prob.bc_full_vec()).ravel()[prob.invinds]
+                fvf[prob.invinds] = np.asarray(prob.fv).ravel() - fvbc
             fl = dict(aff=afful, Zp=None, fv=jnp.asarray(fvf, w),
                       nf=prob.nv_full, npp=prob.np_cond, w=w,
                       nu=float(prob.nu),
@@ -696,18 +707,34 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
         vf0 = jnp.asarray(vf0)
         nfc0 = (-kern_w.vector(jnp.asarray(v00))).astype(fl["w"])
 
+        nin_p = getattr(ops.solver, "_nin", 0) if schur_full else 0
+
         def fstep(b, c, t):
             w = fl["w"]
             vf, nfc_o = c["v"], c["nfc"]
-            # fused element pipeline: convection + stiffness share the
-            # gather and one stacked scatter
-            cv, av = b["kern"].vector_and_amatvec(
-                vf, fl["nu"], sym=fl["sym"],
-                fac_elem=b["aff"].fac_elem, fac_vdofs=b["facv"])
-            nfc_c = (-cv).astype(w)
-            rhs = (jnp.asarray(-dt, w) * av.astype(w)
-                   + jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
-                   + jnp.asarray(dt, w) * b["fv"])
+            if split:
+                # conv/A split: the element pipeline carries ONLY the
+                # nonlinear convection (half the scatter values); the
+                # explicit diffusion is one banded matvec in permuted
+                # inner space (~1/10 the element application cost at
+                # lvl2+, docs/PERF_NOTES.md section 8)
+                cv = b["kern"].vector(vf)
+                nfc_c = (-cv).astype(w)
+                av_i = b["slv"].band_extra_mv(vf[:nin_p])
+                rhs = (jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
+                       + jnp.asarray(dt, w) * b["fv"])
+                rhs = rhs.at[:nin_p].add(
+                    jnp.asarray(-dt, w) * av_i.astype(w))
+            else:
+                # fused element pipeline: convection + stiffness share
+                # the gather and one stacked scatter
+                cv, av = b["kern"].vector_and_amatvec(
+                    vf, fl["nu"], sym=fl["sym"],
+                    fac_elem=b["aff"].fac_elem, fac_vdofs=b["facv"])
+                nfc_c = (-cv).astype(w)
+                rhs = (jnp.asarray(-dt, w) * av.astype(w)
+                       + jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
+                       + jnp.asarray(dt, w) * b["fv"])
             rp = (b["fp"] - c["gp"]).astype(w)
             if use_w:
                 # permuted layout: the solver consumes rhs[:nin] as a

@@ -264,8 +264,10 @@ def test_schur_full_layout_matches_inner(cavity):
     """The Schur solver in the full-dof layout (full_map: zero-padded
     X/Jacobi masks the bc rows inside the PCG) matches the inner-layout
     Schur trajectory.  The full layout runs 6 extrapolation-warm-started
-    PCG iterations per step (vs the inner layout's cold full count), so
-    the trajectories agree at the warm-solve tolerance (~1e-8), not to
+    PCG iterations per step (vs the inner layout's cold full count) and
+    computes its explicit diffusion via the banded f32 A (conv/A split)
+    where the inner layout uses the element pipeline, so the
+    trajectories agree at the warm-solve/f32 tolerance (~1e-7), not to
     round-off."""
     prob, vss = cavity
     trange = np.linspace(0, 0.2, 101)
@@ -282,4 +284,4 @@ def test_schur_full_layout_matches_inner(cavity):
     assert not o_f["ffflag"]
     rel = (np.linalg.norm(np.asarray(o_f["v"]) - np.asarray(o_i["v"]))
            / np.linalg.norm(np.asarray(o_i["v"])))
-    assert rel < 1e-7, rel
+    assert rel < 5e-7, rel
