@@ -58,6 +58,85 @@ def _arm_cache():
         pass
 
 
+def _canary_gbps():
+    """Detect the tunneled runtime's per-process SLOW MODE: some
+    processes land in a persistent state where the banded-einsum op
+    class runs ~60x slower than its HBM floor (measured 9-28 ms vs
+    0.2 ms for the same 160 MB application, same day, adjacent
+    processes; docs/PERF_NOTES.md section 9).  Times that op class in a
+    short scan and returns its effective GB/s (-1.0 when the result
+    cache serves phantoms — also untrustworthy)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from jax import lax
+
+    rng = np.random.default_rng(7)
+    nblk, bs = 40, 512
+    B = jnp.asarray(rng.standard_normal((nblk, bs, 3 * bs)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(nblk * bs), jnp.float32)
+
+    @partial(jax.jit, static_argnums=2)
+    def run(B, x, k):
+        def body(c, _):
+            xw = c.reshape(nblk, bs)
+            zero = jnp.zeros((1, bs), c.dtype)
+            win = jnp.concatenate(
+                [jnp.concatenate([zero, xw[:-1]], 0), xw,
+                 jnp.concatenate([xw[1:], zero], 0)], 1)
+            y = jnp.einsum("kij,kj->ki", B, win).reshape(-1)
+            return y / (jnp.linalg.norm(y) + 1e-9), None
+
+        return lax.scan(body, x, None, length=k)[0]
+
+    # scans long enough that the ~0.5 ms per-dispatch tunnel overhead
+    # vanishes from the slope (short scans underestimate GB/s by 10x)
+    run(B, x0, 20).block_until_ready()
+    run(B, x0, 120).block_until_ready()
+    ts, vals = {}, []
+    for k in (20, 120):
+        els = []
+        for j in (1, 2):
+            xp = x0 * (1 + j * 1e-6)
+            t0 = time.perf_counter()
+            o = run(B, xp, k)
+            o.block_until_ready()
+            els.append(time.perf_counter() - t0)
+            vals.append(np.asarray(o))
+        ts[k] = min(els)
+    if np.array_equal(vals[-1], vals[-2]):
+        return -1.0
+    per = (ts[120] - ts[20]) / 100
+    return float(B.size * 4 / per / 1e9)
+
+
+# Calibrated 2026-08-19 with this (120-step-slope) canary: healthy
+# processes measured 82-270 GB/s (the low end under concurrent load),
+# slow-mode processes 5-20 GB/s.  50 splits the two populations with
+# margin on both sides; misclassifying healthy-as-slow only costs a
+# bounded re-exec.
+_SLOW_MODE_GBPS = 50.0
+
+
+def _ensure_fast_process():
+    """Re-exec the bench (bounded) when this process drew the slow
+    mode — steps/s from a slow-mode process are meaningless.  Returns
+    the measured canary GB/s for the output JSON."""
+    import jax
+
+    g = _canary_gbps()
+    if jax.default_backend() == "cpu" or g >= _SLOW_MODE_GBPS:
+        return g
+    tries = int(os.environ.get("DNS_TPU_BENCH_RETRY", "0"))
+    if tries < 2:
+        import sys
+
+        env = dict(os.environ, DNS_TPU_BENCH_RETRY=str(tries + 1))
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    return g   # out of retries: report with the (bad) canary attached
+
+
 def build(level=1):
     from dolfin_navier_scipy_tpu.models import cylinderwake_problem
 
@@ -421,6 +500,14 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
     import numpy as np
 
     _arm_cache()
+    import jax
+
+    g = _canary_gbps()
+    if jax.default_backend() != "cpu" and g < _SLOW_MODE_GBPS:
+        # this subprocess drew the runtime's slow mode — tell the
+        # parent to retry in a fresh process (timings here would be
+        # ~60x off, docs/PERF_NOTES.md section 9)
+        return {"slow_mode": True, "canary_gbps": round(g, 1)}
     t0 = time.time()
     prob, dt = build(level=level)
     from dolfin_navier_scipy_tpu.solve.sadpnt import solve_sadpnt_host
@@ -474,18 +561,25 @@ def level_steps_per_sec(level, base_steps=20, oracle_steps=300,
             f"print(json.dumps(bench._level_body({level},"
             f" base_steps={base_steps}, oracle_steps={oracle_steps},"
             f" warm_refine={warm_refine})))")
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=2400,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = out.stdout.strip().splitlines()[-1]
-        return json.loads(line)
-    except Exception:
-        return {f"l{level}": None}
+    res = {f"l{level}": None}
+    for _attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=2400,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = out.stdout.strip().splitlines()[-1]
+            res = json.loads(line)
+        except Exception:
+            continue
+        if not res.get("slow_mode"):
+            return res
+    return res
 
 
 def main():
     _arm_cache()
+    canary = _ensure_fast_process()
     t0 = time.time()
     prob, dt = build()
     from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
@@ -547,6 +641,7 @@ def main():
         "setup_s": setup_s,
         "first_run_s": first_run_s,
         "session_app_us_lvl1": round(app_us, 1),
+        "canary_gbps": round(canary, 1),
         "ensemble": ens,
         "level2": l2,
         "level3": l3,

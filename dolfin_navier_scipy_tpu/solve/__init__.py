@@ -8,7 +8,8 @@ from .sadpnt import (  # noqa: F401
     solve_sadpnt,
     solve_sadpnt_host,
 )
-from .steady import solve_steadystate_nse  # noqa: F401
+from .steady import (solve_steadystate_nse,  # noqa: F401
+                     solve_steadystate_pseudotime)  # noqa: F401
 from .pfromv import get_pfromv  # noqa: F401
 from .timeint import (  # noqa: F401
     DirichletControl,

@@ -110,3 +110,22 @@ def test_driven_cavity_smoke():
     assert np.isfinite(p).all()
     # lid velocity enforced
     assert np.isclose(v.ravel().reshape(-1, 2)[:, 0].max(), 1.0)
+
+
+def test_pseudotime_matches_newton():
+    """Pseudo-time marching reaches the Newton steady state (the CNAB
+    increment's fixed point IS the steady NSE solution) — the scalable
+    steady path for meshes beyond direct-solver sizes."""
+    from dolfin_navier_scipy_tpu.solve import solve_steadystate_pseudotime
+
+    prob = drivencavity_problem(N=14, Re=40)
+    v_newton = solve_steadystate_nse(prob, verbose=False,
+                                     vel_nwtn_tol=1e-13)
+    v_pt, info = solve_steadystate_pseudotime(
+        prob, tol=2e-7, chunk=300, max_rounds=40, verbose=False,
+        return_info=True)
+    assert info["converged"], info["rates"][-3:]
+    v_pt = np.asarray(v_pt).ravel()
+    v_newton = np.asarray(v_newton).ravel()
+    rel = np.linalg.norm(v_pt - v_newton) / np.linalg.norm(v_newton)
+    assert rel < 5e-5, rel

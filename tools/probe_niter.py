@@ -17,6 +17,7 @@ LEVEL = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 NSTEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 200
 
 _arm_cache()
+print(f"canary {bench._ensure_fast_process():.0f} GB/s", flush=True)
 prob, dt = build(level=LEVEL)
 vp = solve_sadpnt_host(amat=prob.Mc + 0.5 * dt * prob.Ac, jmat=prob.Jc,
                        jmatT=prob.JTc, rhsv=np.asarray(prob.fv).ravel(),
