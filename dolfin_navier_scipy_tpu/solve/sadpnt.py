@@ -731,6 +731,24 @@ def _build_banded(F, lane=128):
     return _fold_banded_blocks(Fp, n, bs, nblk), perm, bs, nblk
 
 
+def _banded_bandwidth_gb(F, lane=128):
+    """Estimated F-band storage (GB) of :func:`_build_banded` WITHOUT
+    folding the blocks — the RCM pass only.  Used to gate the banded
+    mode: 2D FEM bandwidths give O(100 MB)-O(1 GB) bands, but 3D RCM
+    bandwidths scale like n^(2/3) and would blow the block-tridiagonal
+    storage past HBM (e.g. ~12 GB at a 122k-dof extruded 3D mesh)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    Fc = sps.csr_matrix(F)
+    n = Fc.shape[0]
+    perm = np.asarray(reverse_cuthill_mckee(Fc, symmetric_mode=True))
+    Fp = sps.coo_matrix(Fc[perm][:, perm])
+    bw = int(np.abs(Fp.row - Fp.col).max()) if Fp.nnz else 1
+    bs = max(lane, int(np.ceil(bw / lane)) * lane)
+    nblk = max(1, int(np.ceil(n / bs)))
+    return nblk * bs * 3 * bs * 4 / 1e9
+
+
 def _fold_banded_blocks(Fp, n, bs, nblk):
     """Fold an (already permuted) sparse matrix into the block-
     tridiagonal dense layout ``(nblk, bs, 3bs)``.  Entries outside the
@@ -941,6 +959,19 @@ class SchurSaddleSolver:
         self._xbases = ()
         if banded == "auto":
             banded = _os.environ.get("DNS_TPU_BANDED", "1") != "0"
+            if banded:
+                # 3D / badly-ordered meshes: the RCM bandwidth can make
+                # the block-tridiagonal storage exceed HBM — fall back
+                # to the element-pipeline PCG automatically
+                cap = float(_os.environ.get("DNS_TPU_BANDED_MAXGB", "3"))
+                est = _banded_bandwidth_gb(F)
+                if est > cap:
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "banded F-band storage %.1f GB > cap %.1f GB; "
+                        "using the element-pipeline Schur path", est, cap)
+                    banded = False
         perm = pp = None
         if banded:
             blocks, perm, bs, nblk = _build_banded(F)

@@ -132,13 +132,14 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                       if (precision != "fast" and not on_acc)
                       else _jnp.float32)
     if linsolver == "auto":
-        # measured per-step costs at 8k dofs on v5e: dense-inverse apply
-        # 0.35 ms vs Jacobi-PCG(21) ~8 ms (the affine matvec costs
-        # 354 us, so iterating is 20x one MXU matvec) — dense wins below
-        # its ~20k-dof memory/VMEM ceiling, block-Schur is the path
-        # beyond it (no O(n^2) object; 2x scipy-splu at 30k dofs)
+        # the banded block-Schur solve beats the dense-inverse apply
+        # from ~8k dofs up on the current toolchain (lvl1 measured:
+        # banded 1559/1208 steps/s refine 0/1 vs dense 922 — the dense
+        # apply reads O(n^2) HBM bytes, the banded solve O(n bs); the
+        # crossover sits below lvl1, dense keeps only the tiny-problem
+        # regime where its one-matmul step is unbeatable)
         n_all = len(prob.invinds) + prob.np_cond
-        linsolver = "dense" if n_all <= 20000 else "schur"
+        linsolver = "dense" if n_all <= 6000 else "schur"
     if linsolver == "krylov":
         from .krylov_saddle import build_krylov_ops
 
@@ -595,7 +596,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
     if ops is None:
         n_all = len(prob.invinds) + prob.np_cond
         lin_res = (linsolver if linsolver != "auto"
-                   else ("dense" if n_all <= 20000 else "schur"))
+                   else ("dense" if n_all <= 6000 else "schur"))
         ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype,
                          refine=refine, precision=precision,
                          linsolver=lin_res,
