@@ -250,12 +250,28 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
 
         nin_p = getattr(ops.solver, "_nin", 0) if schur_full else 0
 
+        # banded convection tail (solve/timeint.py twin): replaces the
+        # element pipeline's gather/segment_sum with static-window
+        # banded matmuls when its predicted HBM stream wins
+        bct = None
+        if use_w and split:
+            from dolfin_navier_scipy_tpu.ops.banded_conv import (
+                build_banded_conv_tail,
+            )
+
+            bct = build_banded_conv_tail(kern, nin_p,
+                                         np.asarray(vf0[nin_p:]))
+        use_bct = bct is not None
+        if use_bct:
+            bundle["bct"] = bct
+
         def step(b, carry, _):
             vf, nfc_o, gp = carry[0], carry[1], carry[2]
             if split:
                 # conv/A split: convection-only element pipeline +
                 # banded diffusion matvec (solve/timeint.py twin)
-                cv = b["kern"].vector(vf)
+                cv = (b["bct"].vector(vf) if use_bct
+                      else b["kern"].vector(vf))
                 nfc_c = (-cv).astype(jnp.float32)
                 av_i = b["slv"].band_extra_mv(vf[:nin_p])
                 rhs = (jnp.float32(0.5 * dt) * (3.0 * nfc_c - nfc_o)

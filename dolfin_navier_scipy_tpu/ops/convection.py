@@ -185,6 +185,23 @@ class ConvectionKernel:
         new.vdofs_flat = new.vd.reshape(-1)
         return new
 
+    def with_element_order(self, eorder):
+        """Clone with the elements permuted (``eorder (nc,)``: new row k
+        is old row ``eorder[k]``).  Dof ids are unchanged — only the
+        per-element tables (geometry, weights, dof lists) move.  Used by
+        the banded convection tail, which needs elements sorted along
+        the RCM state order so its gather/scatter matrices are banded
+        (:mod:`.banded_conv`)."""
+        leaves, aux = self.tree_flatten()
+        new = self.tree_unflatten(aux, leaves)
+        eo = jnp.asarray(np.asarray(eorder))
+        new.JinvT = self.JinvT[eo]
+        new.wdet = self.wdet[eo]
+        new.nodes = self.nodes[eo]
+        new.vd = self.vd[eo]
+        new.vdofs_flat = new.vd.reshape(-1)
+        return new
+
     def _bmm(self, X, Wblk, out_dim):
         Xb = X.reshape(self.nc // self.blk, -1)
         return (Xb @ Wblk).reshape(self.nc, out_dim)

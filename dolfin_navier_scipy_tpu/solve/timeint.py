@@ -710,6 +710,22 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
 
         nin_p = getattr(ops.solver, "_nin", 0) if schur_full else 0
 
+        # banded convection tail: in the w-space conv/A split the
+        # element pipeline's gather/segment_sum is the step's last
+        # index-op cost — replace it with static-window banded matmuls
+        # when the predicted HBM stream beats it (ops/banded_conv.py;
+        # 141 vs 407 us at lvl1).  Valid exactly in this branch: the
+        # solver slices rhs[:nin] and the bc tail is scan-constant.
+        bct = None
+        if use_w and split:
+            from ..ops.banded_conv import build_banded_conv_tail
+
+            bct = build_banded_conv_tail(kern_w, nin_p,
+                                         np.asarray(vf0[nin_p:]))
+        use_bct = bct is not None
+        if use_bct:
+            fb["bct"] = bct
+
         def fstep(b, c, t):
             w = fl["w"]
             vf, nfc_o = c["v"], c["nfc"]
@@ -719,7 +735,8 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                 # explicit diffusion is one banded matvec in permuted
                 # inner space (~1/10 the element application cost at
                 # lvl2+, docs/PERF_NOTES.md section 8)
-                cv = b["kern"].vector(vf)
+                cv = (b["bct"].vector(vf) if use_bct
+                      else b["kern"].vector(vf))
                 nfc_c = (-cv).astype(w)
                 av_i = b["slv"].band_extra_mv(vf[:nin_p])
                 rhs = (jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
