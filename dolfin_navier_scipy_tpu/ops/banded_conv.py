@@ -158,10 +158,15 @@ def build_banded_conv_tail(kern, nin, bc_tail, bs=256, max_gb=None,
     keep = rows < nin
 
     # ---- gate on predicted HBM stream cost, before any allocation ----
+    # 0/1 blocks are EXACT in bfloat16 — half the HBM stream for free
+    # (TPU only: CPU emulates bf16 and would slow the host path)
+    bf16 = (os.environ.get("DNS_TPU_BANDED_CONV_BF16", "1") != "0"
+            and jax.default_backend() != "cpu")
+    bfac = 0.5 if bf16 else 1.0
     nblk_s = max(1, (nin + bs - 1) // bs)
     nblk_g = max(1, (nvals + bs - 1) // bs)
-    by = (_window_bytes(rows[keep], cols[keep], nblk_s, bs)
-          + _window_bytes(cols[keep], rows[keep], nblk_g, bs))
+    by = bfac * (_window_bytes(rows[keep], cols[keep], nblk_s, bs)
+                 + _window_bytes(cols[keep], rows[keep], nblk_g, bs))
     if max_gb is None:
         max_gb = float(os.environ.get("DNS_TPU_BANDED_CONV_MAXGB", "1.0"))
     # cost model (docs/PERF_NOTES.md section 8): banded ~ bytes at the
@@ -188,7 +193,9 @@ def build_banded_conv_tail(kern, nin, bc_tail, bs=256, max_gb=None,
     ue_bc = vpad[np.minimum(vd_s, nv_full)].astype(np.float32)
 
     kern_s = kern.with_element_order(eorder)
+    bdt = jnp.bfloat16 if bf16 else jnp.float32
     return BandedConvTail(
-        kern_s, jnp.asarray(Sb), jnp.asarray(Gb), jnp.asarray(ue_bc),
+        kern_s, jnp.asarray(Sb, bdt), jnp.asarray(Gb, bdt),
+        jnp.asarray(ue_bc),
         meta=(Sbases, int(wS), int(Spad), Gbases, int(wG), int(Gpad),
               int(nin), int(nvals)))
