@@ -704,6 +704,17 @@ def jacobi_pcg(fmv, dinv, b, niter, x0=None):
     return x
 
 
+# MXU pass count of the banded/static-window applications: 'highest'
+# (6-pass f32) vs the package default 3-pass 'float32'.  The refined
+# Schur path tolerates 3-pass accuracy (the per-step residual round
+# absorbs the solve tolerance), but the knob stays measurable:
+# DNS_TPU_BAND_PREC=highest restores the 6-pass form.
+_BAND_PREC = (jax.lax.Precision.HIGHEST
+              if _os.environ.get("DNS_TPU_BAND_PREC",
+                                 "highest") == "highest"
+              else None)
+
+
 def _build_banded(F, lane=128):
     """RCM-banded dense-block form of a sparse matrix (host, one-time).
 
@@ -775,8 +786,7 @@ def _banded_mv(blocks, xp, bs, nblk, n):
     win = jnp.concatenate(
         [jnp.concatenate([zero, xpad[:-1]], axis=0), xpad,
          jnp.concatenate([xpad[1:], zero], axis=0)], axis=1)
-    y = jnp.einsum("kij,kj->ki", blocks, win,
-                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("kij,kj->ki", blocks, win, precision=_BAND_PREC)
     return y.reshape(-1)[:n]
 
 
@@ -850,8 +860,7 @@ def _rect_mv(blocks, bases, w, nrows, ncl_pad, x):
     batched matmul; ``bases`` are compile-time constants)."""
     xpad = jnp.pad(x, (0, ncl_pad - x.shape[0]))
     xw = jnp.stack([jax.lax.slice(xpad, (b,), (b + w,)) for b in bases])
-    y = jnp.einsum("kij,kj->ki", blocks, xw,
-                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("kij,kj->ki", blocks, xw, precision=_BAND_PREC)
     return y.reshape(-1)[:nrows]
 
 
