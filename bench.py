@@ -544,14 +544,21 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
             warm_refine=warm_refine)
     # unrefined twin: the ~1e-5-floor fast configuration (same kernels,
     # no per-step residual round) — costs exactly ~2x less
-    sps_fast = None
+    sps_fast = rel_fast = None
     if warm_refine:
         sps_fast, _, _ = device_steps_per_sec(
             prob, dt, nsteps=nsteps, mode="accurate", linsolver="schur",
             layout="full", v0=v0, ops=ops, warm_refine=0)
+        _, vf300, _ = device_steps_per_sec(
+            prob, dt, nsteps=oracle_steps, mode="accurate",
+            linsolver="schur", layout="full", v0=v0, ops=ops,
+            warm_refine=0)
     _, v64 = baseline_loop(prob, dt, nsteps=oracle_steps, v0=v0,
                            return_v=True)
     rel = float(np.linalg.norm(v_dev - v64) / np.linalg.norm(v64))
+    if sps_fast is not None:
+        rel_fast = float(np.linalg.norm(vf300 - v64)
+                         / np.linalg.norm(v64))
     base = baseline_loop(prob, dt, nsteps=base_steps, v0=v0)
     k = f"l{level}"
     out = {k: round(sps_, 2), k + "_base": round(base, 2),
@@ -562,6 +569,7 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
     if sps_fast is not None:
         out[k + "_fast"] = round(sps_fast, 2)
         out[k + "_fast_vs_baseline"] = round(sps_fast / base, 2)
+        out[k + "_fast_rel_err"] = rel_fast
     return out
 
 

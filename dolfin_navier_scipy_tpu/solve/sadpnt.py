@@ -345,7 +345,8 @@ def _equilibrate_inv_staged(S, iters=2):
 
 
 def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256,
-                                out_cols=None, colmap=None, want="both"):
+                                out_cols=None, colmap=None, want="both",
+                                niter=None):
     """Build ``X^T = (F^{-1} J^T)^T`` and ``S = J X`` on the accelerator.
 
     Column chunks of ``J^T`` are densified on device from (tiny) triplet
@@ -382,7 +383,7 @@ def _build_schur_factors_device(F, J, jT, dinv_np, ncg, chunk=256,
     # setup-only cost: a generous FIXED count (not ncg-derived) so the
     # compiled executable's cache key depends only on the problem shapes
     # — the remote axon compile is minutes, the warm build ~6 s at lvl2
-    niter = max(40, int(ncg) + 12)
+    niter = niter or max(40, int(ncg) + 12)
 
     # uniform per-chunk triplet padding; the WHOLE chunk sweep runs as
     # ONE jitted lax.scan: a python loop of per-chunk jit calls leaked
@@ -827,13 +828,16 @@ def _build_banded_rect(A, row_order, col_order, bs_r, lane=128):
     return blocks, tuple(bases), w, ncl_pad
 
 
-def _xt_parts_to_banded(parts, bases, bs, nblk, wx, nin):
+def _xt_parts_to_banded(parts, bases, bs, nblk, wx, nin, start=0,
+                        out=None):
     """Fold device-built ``X^T`` row-parts (pressure rows, permuted
     velocity cols) into the velocity-row-block banded layout
     ``(nblk, bs, wx)`` — static slices only, one jit per part (small
-    retained outputs; the parts are deleted by the caller)."""
-    Xb = jnp.zeros((nblk, bs, wx), jnp.float32)
-    lo = 0
+    retained outputs; the parts are deleted by the caller).
+    ``start``/``out`` support incremental group-wise folding (the
+    banded-W build, whose dense form would not fit HBM at once)."""
+    Xb = jnp.zeros((nblk, bs, wx), jnp.float32) if out is None else out
+    lo = start
     for p in parts:
         hi = lo + int(p.shape[0])
 
@@ -894,12 +898,13 @@ class SchurSaddleSolver:
     # that exhausts HBM at lvl3 (113k dofs: X alone is 5.5 GB)
     _leaf_names = ("XT", "Sinv", "dinv", "Kop", "Jop", "F_ell",
                    "J_ell", "JT_ell", "Bblk", "permf", "dinv_b",
-                   "Jb", "JTb", "pidx", "Xb", "Eblk")
+                   "Jb", "JTb", "pidx", "Xb", "Eblk", "Wb")
     _aux_names = ("nv", "np", "ncg", "dtype", "refine",
                   "_bs", "_nblk", "_nin",
                   "_bsp", "_nblkp", "_wj", "_jbases", "_ncolpad_j",
                   "_wjt", "_jtbases", "_ncolpad_jt",
-                  "_wx", "_xbases", "_ncolpad_x")
+                  "_wx", "_xbases", "_ncolpad_x",
+                  "_ww", "_wbases", "_ncolpad_w")
 
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
@@ -960,12 +965,15 @@ class SchurSaddleSolver:
         # entry and the solution scatter at exit.
         self.Bblk = self.permf = self.dinv_b = None
         self.Jb = self.JTb = self.pidx = self.Xb = self.Eblk = None
+        self.Wb = None
         self._bs = self._nblk = self._nin = 0
         self._bsp = self._nblkp = 0
         self._wj = self._ncolpad_j = self._wjt = self._ncolpad_jt = 0
         self._jbases = self._jtbases = ()
         self._wx = self._ncolpad_x = 0
         self._xbases = ()
+        self._ww = self._ncolpad_w = 0
+        self._wbases = ()
         if banded == "auto":
             banded = _os.environ.get("DNS_TPU_BANDED", "1") != "0"
             if banded:
@@ -1068,6 +1076,49 @@ class SchurSaddleSolver:
                 for b in jtbases)
             self._wx, self._xbases, self._ncolpad_x = (
                 int(wx), xbases, int(njtpad))
+            # banded truncated inverse W ~ F^{-1}: the same exponential
+            # decay that bands X bands F^{-1} itself, so ONE wide banded
+            # matvec replaces the whole fixed-count Jacobi-PCG — ~2x
+            # fewer HBM bytes per solve than 6 iterations x the F band
+            # and no sequential iteration dependencies, at a BETTER
+            # solve tolerance (the truncation threshold, default 1e-5,
+            # vs the warm PCG's ~2e-4; refine rounds absorb trunc^2).
+            # Window measured by probing exact F^{-1} columns with host
+            # CG (like X's); docs/PERF_NOTES.md section 12.
+            wmode = _os.environ.get("DNS_TPU_WINV", "auto")
+            if wmode == "auto":
+                # measured crossover (docs/PERF_NOTES.md section 12):
+                # when the F band fits VMEM (~128 MB on v5e) the
+                # warm-started PCG re-reads it from cache and beats the
+                # W stream (lvl1: 1990 vs 1812 steps/s refined); once
+                # the band exceeds residency, every PCG iteration pays
+                # the full HBM read and W's single wide matvec wins
+                use_winv = nblk * bs * 3 * bs * 4 > 1.2e8
+            else:
+                use_winv = wmode != "0"
+            if use_winv and not (jax.default_backend() == "cpu"
+                                 and nv > 4000):
+                wtol = float(_os.environ.get("DNS_TPU_WINV_TOL", "1e-5"))
+                rngw = np.random.default_rng(1)
+                hwf = 0
+                for j in rngw.choice(nv, min(8, nv), replace=False):
+                    e = np.zeros(nv)
+                    e[j] = 1.0
+                    xc, _ = spsla.cg(F, e, rtol=1e-10, atol=0.0,
+                                     maxiter=400, M=Mdiag)
+                    xn = np.abs(xc[perm])
+                    big = np.nonzero(xn > wtol * xn.max())[0]
+                    if len(big):
+                        hwf = max(hwf, int(np.abs(big - ipos_v[j]).max()))
+                ww = bs + 2 * int(np.ceil(1.3 * hwf))
+                ww = min(int(np.ceil(ww / 128)) * 128, max(nv, 128))
+                wcap = float(_os.environ.get("DNS_TPU_WINV_MAXGB", "4"))
+                if nblk * bs * ww * 4 <= wcap * 1e9:
+                    ncpw = max(nv, ww)
+                    self._ww, self._ncolpad_w = int(ww), int(ncpw)
+                    self._wbases = tuple(
+                        min(max(k * bs + (bs - ww) // 2, 0), ncpw - ww)
+                        for k in range(nblk))
 
         on_dev = jax.default_backend() != "cpu"
         if setup == "auto":
@@ -1198,6 +1249,38 @@ class SchurSaddleSolver:
                 self.Sinv = jnp.asarray(np.concatenate([hi, lo], axis=0))
             else:
                 self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
+        if banded and self._ww:
+            # build W ~ F^{-1} banded: chunked device Jacobi-PCG on
+            # identity columns in PERMUTED order (the X machinery),
+            # folded group-wise into the static-window block form — the
+            # dense W would be nv^2 and cannot be materialized at once.
+            # PCG count = ncg (W is a truncated/approximate inverse
+            # whose residual error the refine rounds absorb, like X's).
+            cmapw = np.argsort(perm).astype(np.int32)
+            I_csc = sps.identity(nv, format="csc", dtype=np.float64)
+            Wb = None
+            gs = 8192
+            for lo in range(0, nv, gs):
+                hi = min(lo + gs, nv)
+                part, _ = _build_schur_factors_device(
+                    F, J, I_csc[:, perm[lo:hi]], 1.0 / dv, self.ncg,
+                    out_cols=nv, colmap=cmapw, want="X",
+                    niter=self.ncg)
+                parts = part if isinstance(part, tuple) else (part,)
+                off = lo
+                for p in parts:
+                    pe = min(int(p.shape[0]), hi - off)
+                    if pe <= 0:
+                        break
+                    pw = p if pe == int(p.shape[0]) else p[:pe]
+                    Wb = _xt_parts_to_banded(
+                        (pw,), self._wbases, self._bs, self._nblk,
+                        self._ww, nv, start=off, out=Wb)
+                    off += pe
+                Wb.block_until_ready()
+                _delete_buffers(*parts)
+            self.Wb = Wb
+
         if full_map is not None:
             dinvf = np.zeros(self.nv)
             dinvf[np.asarray(full_map[0])] = 1.0 / dv
@@ -1321,6 +1404,14 @@ class SchurSaddleSolver:
     def _fmv_perm(self, xp):
         return _banded_mv(self.Bblk, xp, self._bs, self._nblk, self._nin)
 
+    def _wapply(self, bp):
+        """``W @ bp``: the banded truncated inverse replaces the whole
+        fixed-count PCG — one wide static-window matvec (~2x fewer HBM
+        bytes than the iteration's F-band streams, no sequential
+        dependencies, solve tolerance = the truncation threshold)."""
+        return _rect_mv(self.Wb, self._wbases, self._ww, self._nin,
+                        self._ncolpad_w, bp)
+
     def band_extra_mv(self, xp):
         """``band_extra_perm @ xp`` (permuted inner space) — the explicit
         operator registered at construction (conv/A split)."""
@@ -1338,9 +1429,17 @@ class SchurSaddleSolver:
     def _solve_core_perm(self, bvp, bpp, y0p=None, niter=None,
                          refine=0, niter_ref=None):
         """All-permuted solve: rhs/solution in RCM velocity order and
-        pp pressure order.  Returns ``(v_perm, q_perm, y_perm)``."""
-        y = jacobi_pcg(self._fmv_perm, self.dinv_b, bvp,
-                       niter or self.ncg, x0=y0p)
+        pp pressure order.  Returns ``(v_perm, q_perm, y_perm)``.
+
+        With the banded truncated inverse W (``Wb``) the velocity-block
+        solves are direct wide banded matvecs (warm starts unused); the
+        refine residuals always use the EXACT banded F, so W/X
+        truncation is absorbed quadratically per round."""
+        if self.Wb is not None:
+            y = self._wapply(bvp)
+        else:
+            y = jacobi_pcg(self._fmv_perm, self.dinv_b, bvp,
+                           niter or self.ncg, x0=y0p)
         q = self._sapply(self._jmv_perm(y) - bpp)
         v = y - self._xapply(q)
         for _ in range(refine):
@@ -1349,8 +1448,11 @@ class SchurSaddleSolver:
             # scale the correction to O(1) (f32 denormal stall on TPU)
             s = jnp.sqrt(jnp.mean(rv * rv) + jnp.mean(rp * rp)
                          + jnp.asarray(1e-30, rv.dtype))
-            y2 = jacobi_pcg(self._fmv_perm, self.dinv_b, rv / s,
-                            niter_ref or niter or self.ncg)
+            if self.Wb is not None:
+                y2 = self._wapply(rv / s)
+            else:
+                y2 = jacobi_pcg(self._fmv_perm, self.dinv_b, rv / s,
+                                niter_ref or niter or self.ncg)
             q2 = self._sapply(self._jmv_perm(y2) - rp / s)
             v = v + s * (y2 - self._xapply(q2))
             q = q + s * q2
