@@ -58,6 +58,31 @@ def _arm_cache():
         pass
 
 
+def _first_dispatch_watchdog(timeout_s=120):
+    """The tunneled runtime occasionally hangs a process's FIRST device
+    dispatch indefinitely (no CPU, no error; the same code in a fresh
+    process runs immediately — observed repeatedly on 2026-08-19).
+    Run a tiny dispatch in a thread; if it does not complete in
+    ``timeout_s`` the process is wedged — return False so the caller
+    can bail out fast instead of burning its full subprocess timeout."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        return True
+    done = threading.Event()
+
+    def ping():
+        x = jnp.ones((128, 128), jnp.float32)
+        (x @ x).block_until_ready()
+        done.set()
+
+    threading.Thread(target=ping, daemon=True).start()
+    return done.wait(timeout_s)
+
+
 def _canary_gbps():
     """Detect the tunneled runtime's per-process SLOW MODE: some
     processes land in a persistent state where the banded-einsum op
@@ -125,15 +150,21 @@ def _ensure_fast_process():
     the measured canary GB/s for the output JSON."""
     import jax
 
+    def _reexec():
+        tries = int(os.environ.get("DNS_TPU_BENCH_RETRY", "0"))
+        if tries < 2:
+            import sys
+
+            env = dict(os.environ, DNS_TPU_BENCH_RETRY=str(tries + 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+    if not _first_dispatch_watchdog():
+        _reexec()          # wedged first dispatch: a fresh process fixes it
+        return -1.0        # out of retries (unreachable in practice)
     g = _canary_gbps()
     if jax.default_backend() == "cpu" or g >= _SLOW_MODE_GBPS:
         return g
-    tries = int(os.environ.get("DNS_TPU_BENCH_RETRY", "0"))
-    if tries < 2:
-        import sys
-
-        env = dict(os.environ, DNS_TPU_BENCH_RETRY=str(tries + 1))
-        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    _reexec()
     return g   # out of retries: report with the (bad) canary attached
 
 
@@ -518,6 +549,11 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
     _arm_cache()
     import jax
 
+    if not _first_dispatch_watchdog():
+        # wedged first dispatch (see the watchdog docstring): bail fast
+        # so the parent retries in a fresh process instead of burning
+        # the full subprocess timeout
+        return {"slow_mode": True, "hang": True}
     g = _canary_gbps()
     if jax.default_backend() != "cpu" and g < _SLOW_MODE_GBPS:
         # this subprocess drew the runtime's slow mode — tell the
@@ -660,6 +696,12 @@ def main():
         except Exception as e:   # never let the sweep kill the bench
             ens[f"B{B}_error"] = repr(e)[:120]
     l2 = level_steps_per_sec(2)
+    # lvl3 floors at ~3e-6 trajectory error regardless of refinement
+    # (refine=1: 3.8e-6 at 36.95 steps/s; refine=2: 2.7e-6 at 26.2 —
+    # one round contracts the 4e-3 unrefined solve floor by ~1e-3,
+    # the second buys almost nothing): the residual is the f32 KERNEL
+    # floor of the 113k-dof mesh, not solve tolerance.  refine=1 is
+    # therefore the honest headline config at lvl3.
     l3 = level_steps_per_sec(3, base_steps=12, oracle_steps=300)
     print(json.dumps({
         "metric": "cnab_steps_per_sec_cylwake2d",

@@ -1260,12 +1260,23 @@ class SchurSaddleSolver:
             I_csc = sps.identity(nv, format="csc", dtype=np.float64)
             Wb = None
             gs = 8192
+            # column accuracy only needs the TRUNCATION tolerance (the
+            # band cut dominates W's error): count host PCG iterations
+            # to wtol once — ~2/3 of the 1e-7-grade count, a real cut
+            # at lvl3's 97k-column build
+            rngn = np.random.default_rng(2)
+            itw = [0]
+            spsla.cg(F, rngn.standard_normal(nv), rtol=wtol, atol=0.0,
+                     maxiter=400, M=Mdiag,
+                     callback=lambda _: itw.__setitem__(
+                         0, itw[0] + 1))
+            niter_w = itw[0] + 3
             for lo in range(0, nv, gs):
                 hi = min(lo + gs, nv)
                 part, _ = _build_schur_factors_device(
                     F, J, I_csc[:, perm[lo:hi]], 1.0 / dv, self.ncg,
-                    out_cols=nv, colmap=cmapw, want="X",
-                    niter=self.ncg)
+                    chunk=512, out_cols=nv, colmap=cmapw, want="X",
+                    niter=niter_w)
                 parts = part if isinstance(part, tuple) else (part,)
                 off = lo
                 for p in parts:
