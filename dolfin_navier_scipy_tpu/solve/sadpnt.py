@@ -859,6 +859,111 @@ def _xt_parts_to_banded(parts, bases, bs, nblk, wx, nin, start=0,
     return Xb
 
 
+def _build_winv_banded(Bblk, dinv_perm, bs, nblk, nin, wbases, ww,
+                       niter):
+    """Localized banded build of the truncated inverse ``W ~ F^{-1}``.
+
+    The SAME exponential decay that justifies truncating W to its
+    static window also LOCALIZES each of its columns: the solution of
+    ``F x = e_c`` is below the truncation threshold outside ~half a
+    window of row ``c``, so each bs-column identity chunk is solved on
+    a LOCAL row window of ``ww + 4 bs`` rows with the dense
+    block-tridiagonal matvec (one batched MXU matmul per PCG
+    iteration) instead of the full-space padded-ELL block-PCG of
+    :func:`_build_schur_factors_device`.  Two compounding wins over
+    the global build (measured in docs/PERF_NOTES.md section 8): the
+    per-iteration operator touches ``nloc`` instead of ``n`` rows
+    (~7x fewer FLOPs at lvl3), and the application is the banded
+    matmul instead of the gather-based ELL form (whose per-row
+    gathers cost ~10-40x the streaming equivalent at lvl2+).
+
+    The zeroed couplings at the local window's edge commit a Dirichlet
+    truncation error of the same exponentially-small order as W's own
+    band cut; far-field entries beyond the local window (present only
+    under the edge-clamped windows, where ``|row - col|`` exceeds the
+    decay width) are below the threshold by construction and stay
+    zero.  When ``nloc >= n`` the local window IS the full space and
+    the build is exactly the global one.
+    """
+    npad = nblk * bs
+    nlocb = min(nblk, (ww + 4 * bs + bs - 1) // bs)
+    nloc = nlocb * bs
+    dpad = jnp.concatenate([
+        jnp.asarray(dinv_perm, jnp.float32),
+        jnp.zeros(npad - nin, jnp.float32)])
+    wb_arr = jnp.asarray(np.asarray(wbases, np.int32))
+
+    @jax.jit
+    def step(W, kb0, kc):
+        blks = jax.lax.dynamic_slice(
+            Bblk, (kb0, 0, 0), (nlocb, bs, 3 * bs))
+        # Dirichlet-truncate the couplings that reach outside the local
+        # window (left neighbor of the first block / right neighbor of
+        # the last) — keeps the local operator a principal submatrix
+        # of F (SPD, PCG-safe)
+        blks = blks.at[0, :, :bs].set(0.0)
+        blks = blks.at[nlocb - 1, :, 2 * bs:].set(0.0)
+        dl = jax.lax.dynamic_slice(dpad, (kb0 * bs,), (nloc,))
+
+        gcol = kc * bs + jnp.arange(bs)
+        B = jnp.zeros((nloc, bs), jnp.float32).at[
+            (kc - kb0) * bs + jnp.arange(bs), jnp.arange(bs)].set(
+                jnp.where(gcol < nin, 1.0, 0.0))
+
+        def fmv(P):
+            Pb = P.reshape(nlocb, bs, bs)
+            zero = jnp.zeros_like(Pb[:1])
+            win = jnp.concatenate(
+                [jnp.concatenate([zero, Pb[:-1]], axis=0), Pb,
+                 jnp.concatenate([Pb[1:], zero], axis=0)], axis=1)
+            return jnp.einsum("kij,kjw->kiw", blks, win,
+                              precision=_BAND_PREC).reshape(nloc, bs)
+
+        X = jnp.zeros_like(B)
+        R = B
+        Z = dl[:, None] * R
+        P = Z
+        rz = (R * Z).sum(axis=0)
+
+        def body(_, st):
+            X, R, P, rz = st
+            AP = fmv(P)
+            pAp = (P * AP).sum(axis=0)
+            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+            X = X + alpha[None, :] * P
+            R = R - alpha[None, :] * AP
+            Z = dl[:, None] * R
+            rz_n = (R * Z).sum(axis=0)
+            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+            return (X, R, Z + beta[None, :] * P, rz_n)
+
+        X, _, _, _ = jax.lax.fori_loop(0, niter, body, (X, R, P, rz))
+
+        # fold: X[t*bs + i, c] = F^{-1}[(kb0+t) bs + i, kc bs + c];
+        # target W[kb, i, j] with j = kc bs + c - wbases[kb] (out-of-
+        # window j are pushed OOB and dropped by the scatter)
+        Xb3 = X.reshape(nlocb, bs, bs)
+        contrib = []
+        for t in range(nlocb):
+            j = gcol - wb_arr[kb0 + t]
+            j = jnp.where((j >= 0) & (j < ww), j, ww)
+            contrib.append(
+                jnp.zeros((bs, ww), jnp.float32).at[:, j].add(Xb3[t]))
+        W_loc = jax.lax.dynamic_slice(W, (kb0, 0, 0), (nlocb, bs, ww))
+        return jax.lax.dynamic_update_slice(
+            W, W_loc + jnp.stack(contrib), (kb0, 0, 0))
+
+    W = jnp.zeros((nblk, bs, ww), jnp.float32)
+    for kc in range(nblk):
+        kb0 = min(max(kc - (nlocb - 1) // 2, 0), nblk - nlocb)
+        Wn = step(W, kb0, kc)
+        Wn.block_until_ready()
+        if Wn is not W:
+            _delete_buffers(W)
+        W = Wn
+    return W
+
+
 def _rect_mv(blocks, bases, w, nrows, ncl_pad, x):
     """``A_perm @ x`` via the static-window block form (slices + one
     batched matmul; ``bases`` are compile-time constants)."""
@@ -1250,16 +1355,6 @@ class SchurSaddleSolver:
             else:
                 self.Sinv = jnp.asarray(np.linalg.inv(S), dtype)
         if banded and self._ww:
-            # build W ~ F^{-1} banded: chunked device Jacobi-PCG on
-            # identity columns in PERMUTED order (the X machinery),
-            # folded group-wise into the static-window block form — the
-            # dense W would be nv^2 and cannot be materialized at once.
-            # PCG count = ncg (W is a truncated/approximate inverse
-            # whose residual error the refine rounds absorb, like X's).
-            cmapw = np.argsort(perm).astype(np.int32)
-            I_csc = sps.identity(nv, format="csc", dtype=np.float64)
-            Wb = None
-            gs = 8192
             # column accuracy only needs the TRUNCATION tolerance (the
             # band cut dominates W's error): count host PCG iterations
             # to wtol once — ~2/3 of the 1e-7-grade count, a real cut
@@ -1271,6 +1366,26 @@ class SchurSaddleSolver:
                      callback=lambda _: itw.__setitem__(
                          0, itw[0] + 1))
             niter_w = itw[0] + 3
+        if (banded and self._ww and _os.environ.get(
+                "DNS_TPU_WINV_BUILD", "local") != "global"):
+            # localized banded build: each bs-column identity chunk is
+            # solved on a ww+4bs-row local window with the banded
+            # matvec (docstring of :func:`_build_winv_banded`) — ~10x
+            # the global ELL build's speed at lvl3 (the round-3 W-build
+            # setup bottleneck, docs/PERF_NOTES.md section 12)
+            self.Wb = _build_winv_banded(
+                self.Bblk, (1.0 / dv)[perm], self._bs, self._nblk,
+                nv, self._wbases, self._ww, niter_w)
+        elif banded and self._ww:
+            # GLOBAL build (DNS_TPU_WINV_BUILD=global): chunked device
+            # Jacobi-PCG on identity columns in PERMUTED order (the X
+            # machinery), folded group-wise into the static-window
+            # block form — the dense W would be nv^2 and cannot be
+            # materialized at once.
+            cmapw = np.argsort(perm).astype(np.int32)
+            I_csc = sps.identity(nv, format="csc", dtype=np.float64)
+            Wb = None
+            gs = 8192
             for lo in range(0, nv, gs):
                 hi = min(lo + gs, nv)
                 part, _ = _build_schur_factors_device(
