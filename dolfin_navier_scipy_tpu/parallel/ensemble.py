@@ -168,3 +168,142 @@ def make_ensemble_cnab_scan(prob, dt, theta=0.5, precision="accurate",
         return VF[:, iv]
 
     return run, place
+
+
+def make_ensemble_wspace_scan(prob, dt, theta=0.5, precision="accurate",
+                              mesh=None, batch_axis="batch", refine=0,
+                              niter=None):
+    """Batched CNAB time loop on the BANDED w-space fast path.
+
+    Same contract as :func:`make_ensemble_cnab_scan` (``(run, place)``;
+    ``run(V0, n) -> (B, nin)``) but each member's step is the
+    RCM-permuted banded block-Schur step (solve/timeint.py's production
+    path): banded F/J/J^T/X (+ the truncated inverse W where engaged),
+    the conv/A split with the banded convection tail, and extrapolated
+    warm starts.  vmapping that step turns EVERY per-member banded
+    application — the F/W/X/S^-1 solves, the diffusion matvec, the
+    conv-tail S/G matmuls — into one batched MXU matmul that reads the
+    block tables ONCE for all B members, so the aggregate
+    trajectory-steps/s scales with B until the MXU saturates (the same
+    argument as the dense ensemble scan, now without its ~20k-dof
+    dense-inverse ceiling).  This is the TPU-native replacement for the
+    reference's one-process-per-parameter sweep workflow
+    (tests/start-generic-tdp-sim.sh + time_dep_nse_generic.py).
+
+    Falls back to :func:`make_ensemble_cnab_scan` when the banded mode
+    is gated off (3D bandwidth cap, ``DNS_TPU_BANDED=0``).  ``theta``
+    must be 0.5 (CNAB's AB2 weights are dt/2-fixed).
+
+    ``refine``/``niter``: per-step residual rounds / warm PCG count
+    (defaults mirror the serial scan: ``_NITER_WARM`` warm iterations;
+    W replaces the PCG where engaged).
+    """
+    from functools import partial
+
+    from jax import lax
+
+    from ..ops.banded_conv import build_banded_conv_tail
+    from ..solve.timeint import _NITER_WARM, _build_ops, _kern
+
+    if theta != 0.5:
+        raise ValueError("the ensemble w-space scan is CNAB (theta=0.5)")
+    ops = _build_ops(prob, dt, theta=theta, precision=precision,
+                     linsolver="schur", layout="full")
+    slv = ops.solver
+    if (getattr(slv, "Bblk", None) is None
+            or getattr(slv, "Eblk", None) is None):
+        return make_ensemble_cnab_scan(prob, dt, theta=theta,
+                                       precision=precision, mesh=mesh,
+                                       batch_axis=batch_axis)
+    w = ops.wdtype
+    nf, npp = prob.nv_full, prob.np_cond
+    nin_p = slv._nin
+    niter_w = niter or _NITER_WARM
+
+    # w-space translation maps (mirrors solve/timeint.py use_w wiring):
+    # state = [v_inner in RCM order; bc dofs]; natural order restored
+    # only at entry/exit
+    wsrc = np.concatenate([
+        np.asarray(slv.permf),
+        np.setdiff1d(np.arange(nf),
+                     np.asarray(prob.invinds))]).astype(np.int64)
+    iposx = np.full(nf + 1, nf, np.int32)
+    iposx[wsrc] = np.arange(nf, dtype=np.int32)
+    kern_w = (_kern(prob, "fast") if w == jnp.float32
+              else _kern(prob, "accurate")).with_dof_map(
+                  jnp.asarray(iposx))
+    fvf = np.zeros(nf)
+    fvf[prob.invinds] = np.asarray(prob.fv).ravel()
+    fv_w = jnp.asarray(fvf, w)[jnp.asarray(wsrc)]
+    pidx = np.asarray(slv.pidx)
+    fp_w = jnp.asarray(np.asarray(prob.fp).ravel())[jnp.asarray(pidx)]
+
+    vbc = np.asarray(prob.bc_full_vec())
+    bct = build_banded_conv_tail(kern_w, nin_p,
+                                 vbc[wsrc[nin_p:]])
+    bundle = dict(slv=slv, kern=kern_w, fv=fv_w, fp=fp_w)
+    if bct is not None:
+        bundle["bct"] = bct
+
+    cdtype = jnp.float32 if precision == "fast" else jnp.float64
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        spec = NamedSharding(mesh, P(batch_axis, None))
+        bundle = jax.device_put(bundle, repl)
+    else:
+        spec = None
+
+    def one_step(b, vf, nfc_o, gp, ys, ysp):
+        s = b["slv"]
+        cv = (b["bct"].vector(vf) if bct is not None
+              else b["kern"].vector(vf))
+        nfc_c = (-cv).astype(w)
+        av_i = s.band_extra_mv(vf[:nin_p])
+        rhs = (jnp.asarray(0.5 * dt, w) * (3.0 * nfc_c - nfc_o)
+               + jnp.asarray(dt, w) * b["fv"])
+        rhs = rhs.at[:nin_p].add(jnp.asarray(-dt, w) * av_i.astype(w))
+        rp = (b["fp"] - gp).astype(w)
+        y0 = 2.0 * ys - ysp
+        dvp, _q, y_n = s.solve_warm_wspace(rhs, rp, y0, niter=niter_w,
+                                           refine=refine)
+        v_n = vf + jnp.concatenate(
+            [dvp, jnp.zeros((nf - nin_p,), dvp.dtype)]).astype(vf.dtype)
+        return v_n, nfc_c, b["fp"], y_n, ys
+
+    vstep = jax.vmap(one_step, in_axes=(None, 0, 0, 0, 0, 0))
+
+    @partial(jax.jit, static_argnums=3)
+    def _run(b, VF0, GP0, n):
+        NFC0 = jax.vmap(
+            lambda vf: (-(b["bct"].vector(vf) if bct is not None
+                          else b["kern"].vector(vf))).astype(w))(VF0)
+        B = VF0.shape[0]
+        Y0 = jnp.zeros((B, slv.warm_size), w)
+
+        def body(c, _):
+            return vstep(b, *c), None
+
+        (VF, _, _, _, _), _ = lax.scan(
+            body, (VF0, NFC0, GP0, Y0, Y0), None, length=n)
+        return VF
+
+    import scipy.sparse as sps
+
+    Jc = sps.csr_matrix(prob.Jc)
+    iv = np.asarray(prob.invinds)
+    inat = iposx[iv]
+
+    def place(X):
+        X = jnp.asarray(X)
+        return jax.device_put(X, spec) if spec is not None else X
+
+    def run(V0, n):
+        V0 = np.asarray(V0, np.float64)
+        GP0 = place(jnp.asarray((Jc @ V0.T).T[:, pidx], w))
+        VF0 = np.tile(vbc, (V0.shape[0], 1))
+        VF0[:, iv] = V0
+        VF = _run(bundle, place(jnp.asarray(VF0[:, wsrc], cdtype)),
+                  GP0, int(n))
+        return VF[:, inat]
+
+    return run, place
