@@ -426,23 +426,30 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
     return nsteps / el, vals[-1], ops
 
 
-def ensemble_traj_steps_per_sec(prob, dt, v0, B=16, nsteps=300):
+def ensemble_traj_steps_per_sec(prob, dt, v0, B=16, nsteps=300,
+                                scan="wspace"):
     """Aggregate trajectory-steps/s of the vmapped-batch CNAB scan.
 
-    B independent trajectories ride one lax.scan: the dense inverse
-    apply becomes ONE (n, n) x (n, B) MXU matmul reading the factor
-    from HBM once for all B members (the single-trajectory step is
-    HBM/latency-bound, docs/PERF_NOTES.md) — the TPU-native form of the
-    reference's serial parameter-sweep workflow
-    (tests/start-generic-tdp-sim.sh: one process per parameter).
+    B independent trajectories ride one lax.scan, so every per-member
+    operator application becomes ONE batched MXU matmul that reads the
+    shared tables from HBM once for all B members (the
+    single-trajectory step is HBM/latency-bound, docs/PERF_NOTES.md) —
+    the TPU-native form of the reference's serial parameter-sweep
+    workflow (tests/start-generic-tdp-sim.sh: one process per
+    parameter).  ``scan='wspace'`` batches the PRODUCTION banded
+    w-space step (refine=1, accuracy parity with the serial headline);
+    ``'dense'`` keeps the dense-inverse scan for comparison.
     Same phantom hardening as device_steps_per_sec: perturbed inputs,
     outputs-must-differ, median of 3.
     """
     from dolfin_navier_scipy_tpu.parallel.ensemble import (
-        make_ensemble_cnab_scan,
+        make_ensemble_cnab_scan, make_ensemble_wspace_scan,
     )
 
-    run, _ = make_ensemble_cnab_scan(prob, dt)
+    if scan == "wspace":
+        run, _ = make_ensemble_wspace_scan(prob, dt, refine=1)
+    else:
+        run, _ = make_ensemble_cnab_scan(prob, dt)
     rng = np.random.default_rng(11)
     V0 = np.stack([v0 * (1 + 1e-4 * rng.standard_normal(len(v0)))
                    for _ in range(B)])
@@ -695,6 +702,13 @@ def main():
             ens[f"B{B}_vs_baseline"] = round(agg / base, 1)
         except Exception as e:   # never let the sweep kill the bench
             ens[f"B{B}_error"] = repr(e)[:120]
+    try:
+        # dense-inverse comparison point (the pre-round-3 ensemble path)
+        ens["B64_dense_traj_steps_per_sec"] = round(
+            ensemble_traj_steps_per_sec(prob, dt, v0, B=64,
+                                        scan="dense"), 1)
+    except Exception as e:
+        ens["B64_dense_error"] = repr(e)[:120]
     l2 = level_steps_per_sec(2)
     # lvl3 floors at ~3e-6 trajectory error regardless of refinement
     # (refine=1: 3.8e-6 at 36.95 steps/s; refine=2: 2.7e-6 at 26.2 —

@@ -7,6 +7,11 @@ ppermutes), dof-sharded SpMV over an ICI mesh, row-sharded Schur
 factors (capacity mode), and vmap/pjit ensembles over parameter sweeps.
 """
 
+from .ensemble import (                                      # noqa: F401
+    make_ensemble_cnab_scan,
+    make_ensemble_cnab_step,
+    make_ensemble_wspace_scan,
+)
 from .halo import HaloAffineOps                              # noqa: F401
 from .spatial import (                                       # noqa: F401
     ShardedAffineOps,
