@@ -1,0 +1,86 @@
+"""Probe: does low-bit *storage* of banded blocks cut the HBM stream?
+
+Every banded application is HBM-bound (docs/PERF_NOTES.md section 8),
+so bytes-per-apply is the cost.  Two storage candidates:
+
+* **int8** for the 0/1 conv scatter/gather blocks (exact, like bf16 —
+  the question is whether XLA fuses the int8->f32 convert into the
+  matmul's operand stream, i.e. whether HBM reads int8 or a
+  materialized f32 copy);
+* **bf16** for the value-carrying W/X blocks (0.4% storage rounding —
+  only usable where a refine round absorbs it; here we only measure
+  the stream).
+
+Measures the slope (per-application us) of a scan over the same
+einsum form as ``sadpnt._rect_mv`` at lvl2-conv-like and lvl2-W-like
+block shapes, per storage dtype.
+
+Run ALONE on the TPU host (single core, docs/PERF_NOTES.md section 9).
+"""
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def slope_us(blocks, x, nit=60):
+    @jax.jit
+    def run(B, x0, n):
+        def body(c, _):
+            y = jnp.einsum("kij,kj->ki", B, c,
+                           precision=jax.lax.Precision.HIGHEST)
+            # fold output back to window shape to chain iterations
+            c2 = jnp.zeros_like(c).at[:, : y.shape[1]].set(y)
+            return c2 * 1e-3, None
+
+        c, _ = jax.lax.scan(body, x0, None, length=n)
+        return c
+
+    run(blocks, x, 2).block_until_ready()
+    for n in (10, nit):
+        t0 = time.perf_counter()
+        run(blocks, x, n).block_until_ready()
+        if n == 10:
+            t10 = time.perf_counter() - t0
+    tN = time.perf_counter() - t0
+    return (tN - t10) / (nit - 10) * 1e6
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    cases = [
+        # (label, nblk, bs, w, zero_one)
+        ("conv-S lvl2", 105, 256, 2816, True),
+        ("conv-G lvl2", 565, 256, 768, True),
+        ("W lvl2", 210, 128, 5632, False),
+    ]
+    for label, nblk, bs, w, zo in cases:
+        if zo:
+            B = (rng.random((nblk, bs, w)) < 12.0 / w).astype(np.float32)
+        else:
+            B = rng.standard_normal((nblk, bs, w)).astype(np.float32)
+        x = jnp.asarray(rng.standard_normal((nblk, w)), jnp.float32)
+        mb = B.nbytes / 1e6
+        rows = []
+        for dt, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16"),
+                         (jnp.int8, "int8")):
+            if dt == jnp.int8 and not zo:
+                continue
+            Bd = (jnp.asarray(B, jnp.float32).astype(dt)
+                  if dt != jnp.int8 else jnp.asarray(B, jnp.int8))
+            us = slope_us(Bd, x)
+            eff = Bd.nbytes / us / 1e3  # GB/s vs STORED bytes
+            rows.append(f"{name}: {us:8.1f} us  "
+                        f"({Bd.nbytes/1e6:6.1f} MB stored, "
+                        f"{eff:6.0f} GB/s-of-stored)")
+            del Bd
+        print(f"{label} ({mb:.0f} MB f32):", flush=True)
+        for r in rows:
+            print("   ", r, flush=True)
+
+
+if __name__ == "__main__":
+    main()
