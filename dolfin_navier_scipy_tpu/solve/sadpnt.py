@@ -1406,6 +1406,16 @@ class SchurSaddleSolver:
                 Wb.block_until_ready()
                 _delete_buffers(*parts)
             self.Wb = Wb
+        if (self.Wb is not None and jax.default_backend() != "cpu"
+                and _os.environ.get("DNS_TPU_WINV_BF16", "0") == "1"):
+            # bf16 storage halves W's HBM stream (the dominant bytes of
+            # the lvl2+ step).  Rounding lifts the one-shot solve error
+            # to ~bf16 eps (4e-3 relative); each refine round contracts
+            # the trajectory error by that factor, so refine=2 restores
+            # the f32 floor at ~1.5x the f32-W refine=1 stream.  Opt-in
+            # (DNS_TPU_WINV_BF16=1) until the end-to-end trade is
+            # measured per level (tools/probe_wtol.py --bf16).
+            self.Wb = self.Wb.astype(jnp.bfloat16)
 
         if full_map is not None:
             dinvf = np.zeros(self.nv)

@@ -26,26 +26,43 @@ import jax.numpy as jnp
 
 
 def slope_us(blocks, x, nit=60):
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
     def run(B, x0, n):
         def body(c, _):
             y = jnp.einsum("kij,kj->ki", B, c,
                            precision=jax.lax.Precision.HIGHEST)
-            # fold output back to window shape to chain iterations
+            # fold output back to window shape to chain iterations;
+            # normalize so the carry never underflows to zero (a zero
+            # carry makes all runs' outputs identical and the runtime's
+            # result cache serves phantoms — PERF_NOTES section 5)
             c2 = jnp.zeros_like(c).at[:, : y.shape[1]].set(y)
-            return c2 * 1e-3, None
+            return c2 / (jnp.linalg.norm(c2) + 1e-9), None
 
         c, _ = jax.lax.scan(body, x0, None, length=n)
         return c
 
-    run(blocks, x, 2).block_until_ready()
+    # the axon runtime serves cached results (sometimes even across
+    # perturbed inputs on the first repeat) — perturb every call,
+    # discard the first repeat of each length, take the median slope
+    # (docs/PERF_NOTES.md section 5).
+    run(blocks, x, 10).block_until_ready()
+    run(blocks, x, nit).block_until_ready()
+    ts = {}
     for n in (10, nit):
-        t0 = time.perf_counter()
-        run(blocks, x, n).block_until_ready()
-        if n == 10:
-            t10 = time.perf_counter() - t0
-    tN = time.perf_counter() - t0
-    return (tN - t10) / (nit - 10) * 1e6
+        els = []
+        for rep in range(1, 5):
+            xp = x * (1.0 + (n + rep) * 1e-6)
+            t0 = time.perf_counter()
+            # np.asarray (device->host read) inside the timed region:
+            # block_until_ready alone has been observed returning
+            # before the work is visible; the transfer is constant per
+            # call and cancels in the slope.
+            np.asarray(run(blocks, xp, n))
+            els.append(time.perf_counter() - t0)
+        ts[n] = float(np.median(els[1:]))
+    return (ts[nit] - ts[10]) / (nit - 10) * 1e6
 
 
 def main():

@@ -47,8 +47,16 @@ def main(level=2):
                                  return_v=True)
     nrm = np.linalg.norm(v64)
 
-    for wtol, refines in (("1e-5", (1,)), ("3e-4", (1, 2)),
-                          ("3e-3", (1, 2))):
+    import jax.numpy as jnp
+
+    # PROBE_GRID overrides the sweep: "wtol:r,r;wtol:r,r"
+    grid = os.environ.get("PROBE_GRID",
+                          "1e-5:1,2;3e-4:1,2;3e-3:1,2")
+    cases = [(w, tuple(int(r) for r in rs.split(",")))
+             for w, rs in (c.split(":") for c in grid.split(";"))]
+    dtags = ("f32", "bf16") if os.environ.get(
+        "PROBE_BF16", "1") != "0" else ("f32",)
+    for wtol, refines in cases:
         os.environ["DNS_TPU_WINV_TOL"] = wtol
         t0 = time.time()
         ops = _build_ops(prob, dt, theta=0.5, precision="accurate",
@@ -59,14 +67,21 @@ def main(level=2):
         wmb = 0 if slv.Wb is None else slv.Wb.nbytes / 1e6
         print(f"wtol={wtol}: ww={ww} W={wmb:.0f} MB setup={su:.0f}s",
               flush=True)
-        for r in refines:
-            sps, vd, _ = bench.device_steps_per_sec(
-                prob, dt, nsteps=300, mode="accurate",
-                linsolver="schur", layout="full", v0=v0, ops=ops,
-                warm_refine=r)
-            rel = float(np.linalg.norm(vd - v64) / nrm)
-            print(f"  refine={r}: {sps:8.1f} steps/s  rel_err={rel:.2e}",
-                  flush=True)
+        wb_f32 = slv.Wb
+        for tag in dtags:
+            if tag == "bf16":
+                if wb_f32 is None:
+                    continue
+                slv.Wb = wb_f32.astype(jnp.bfloat16)
+            for r in refines:
+                sps, vd, _ = bench.device_steps_per_sec(
+                    prob, dt, nsteps=300, mode="accurate",
+                    linsolver="schur", layout="full", v0=v0, ops=ops,
+                    warm_refine=r)
+                rel = float(np.linalg.norm(vd - v64) / nrm)
+                print(f"  W={tag} refine={r}: {sps:8.1f} steps/s  "
+                      f"rel_err={rel:.2e}", flush=True)
+        slv.Wb = wb_f32
 
 
 if __name__ == "__main__":
