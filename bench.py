@@ -27,7 +27,8 @@ per-application in-scan cost of the same session so numbers can be
 normalized — a step is ~(n_applications x that).  Levels 2/3 run the
 block-Schur path with ``warm_refine=1`` (one residual round per step):
 the reported steps/s and the <=1e-6 ``rel_err`` come from the SAME
-configuration; the ``_fast`` twin (no refine, ~1e-5 floor) is ~2x.
+configuration; the ``_fast`` twin (no refine; floor = the active
+solver tolerance — PCG ~2e-4 / W-truncation wtol) is ~2x.
 """
 
 import json
@@ -585,7 +586,8 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
             prob, dt, nsteps=oracle_steps, mode="accurate",
             linsolver="schur", layout="full", v0=v0, ops=ops,
             warm_refine=warm_refine)
-    # unrefined twin: the ~1e-5-floor fast configuration (same kernels,
+    # unrefined twin: the solver-tolerance-floor fast configuration
+    # (same kernels,
     # no per-step residual round) — costs exactly ~2x less
     sps_fast = rel_fast = None
     if warm_refine:

@@ -1185,11 +1185,18 @@ class SchurSaddleSolver:
             # decay that bands X bands F^{-1} itself, so ONE wide banded
             # matvec replaces the whole fixed-count Jacobi-PCG — ~2x
             # fewer HBM bytes per solve than 6 iterations x the F band
-            # and no sequential iteration dependencies, at a BETTER
-            # solve tolerance (the truncation threshold, default 1e-5,
-            # vs the warm PCG's ~2e-4; refine rounds absorb trunc^2).
-            # Window measured by probing exact F^{-1} columns with host
-            # CG (like X's); docs/PERF_NOTES.md section 12.
+            # and no sequential iteration dependencies.  The truncation
+            # tolerance defaults LOOSE (3e-3): one warm-started refine
+            # round absorbs even that truncation to the mesh's f32
+            # trajectory floor (1.4e-7 at lvl2, measured both at 1e-5
+            # and 3e-3 — tools/probe_wtol.py, PERF_NOTES section 14),
+            # while the window ww ~ log(1/wtol) shrinkage buys +41%
+            # steps/s and halves the W build (the lvl3 setup
+            # bottleneck).  Unrefined (warm_refine=0) callers imprint
+            # ~wtol on the O(dt) increments — tighten DNS_TPU_WINV_TOL
+            # if running fast-mode with accuracy needs.  Window measured
+            # by probing exact F^{-1} columns with host CG (like X's);
+            # docs/PERF_NOTES.md section 12.
             wmode = _os.environ.get("DNS_TPU_WINV", "auto")
             if wmode == "auto":
                 # measured crossover (docs/PERF_NOTES.md section 12):
@@ -1203,7 +1210,7 @@ class SchurSaddleSolver:
                 use_winv = wmode != "0"
             if use_winv and not (jax.default_backend() == "cpu"
                                  and nv > 4000):
-                wtol = float(_os.environ.get("DNS_TPU_WINV_TOL", "1e-5"))
+                wtol = float(_os.environ.get("DNS_TPU_WINV_TOL", "3e-3"))
                 rngw = np.random.default_rng(1)
                 hwf = 0
                 for j in rngw.choice(nv, min(8, nv), replace=False):
@@ -1444,14 +1451,16 @@ class SchurSaddleSolver:
             self.JT_ell = ell_from_scipy_fast(jT, dtype=dtype)
 
         if refine is None:
-            # refine=1 recovers work-precision solves from the ~1e-3
-            # device-f32 Schur inverse at large pressure counts (lvl2
-            # single-solve: 2.3e-7 measured), but currently costs ~28x
-            # per step in-scan on the axon runtime (unexplained; the
-            # constituent matvecs account for ~2x) — keep it opt-in
-            # until profiled.  Increment-form time stepping from smooth
-            # starts tolerates the unrefined solve (errors scale with
-            # the O(dt) increments).
+            # refine stays 0 HERE because the time integrators pass
+            # warm_refine per solve_warm call (the production knob):
+            # one warm-started residual round recovers work-precision
+            # solves from the f32 factors (lvl2 trajectory 1.4e-7).
+            # The round-2 "refine costs 28x in-scan" anomaly was
+            # root-caused as a per-application latency floor of the old
+            # tunnel runtime and is gone on the current toolchain
+            # (docs/PERF_NOTES.md sections 8-10).  Increment-form
+            # stepping from smooth starts tolerates refine=0 (errors
+            # scale with the O(dt) increments).
             refine = 0
         self.refine = int(refine)
 
