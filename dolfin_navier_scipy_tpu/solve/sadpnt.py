@@ -893,8 +893,12 @@ def _build_winv_banded(Bblk, dinv_perm, bs, nblk, nin, wbases, ww,
         jnp.zeros(npad - nin, jnp.float32)])
     wb_arr = jnp.asarray(np.asarray(wbases, np.int32))
 
+    # Bblk/dpad/wb_arr travel as ARGUMENTS: closing over them would
+    # embed multi-hundred-MB HLO constants and the remote compile
+    # rejects the program with HTTP 413 (seen at lvl3 on fresh shapes;
+    # see solve/timeint.py's module docstring for the rule)
     @jax.jit
-    def step(W, kb0, kc):
+    def step(W, Bblk, dpad, wb_arr, kb0, kc):
         blks = jax.lax.dynamic_slice(
             Bblk, (kb0, 0, 0), (nlocb, bs, 3 * bs))
         # Dirichlet-truncate the couplings that reach outside the local
@@ -956,7 +960,7 @@ def _build_winv_banded(Bblk, dinv_perm, bs, nblk, nin, wbases, ww,
     W = jnp.zeros((nblk, bs, ww), jnp.float32)
     for kc in range(nblk):
         kb0 = min(max(kc - (nlocb - 1) // 2, 0), nblk - nlocb)
-        Wn = step(W, kb0, kc)
+        Wn = step(W, Bblk, dpad, wb_arr, kb0, kc)
         Wn.block_until_ready()
         if Wn is not W:
             _delete_buffers(W)

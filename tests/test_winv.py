@@ -34,9 +34,25 @@ def saddle():
 def test_winv_solve_accuracy(saddle, monkeypatch):
     prob, F, bv, bp, ref = saddle
     monkeypatch.setenv("DNS_TPU_WINV", "1")
+    monkeypatch.setenv("DNS_TPU_WINV_TOL", "1e-5")
     slv = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc)
     assert slv.Wb is not None
     for refine, tol in ((0, 2e-5), (1, 5e-7)):
+        slv.refine = refine
+        out = np.asarray(slv.solve(jnp.asarray(bv), jnp.asarray(bp)))
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < tol, (refine, rel)
+
+
+def test_winv_loose_default_refine_absorbs(saddle, monkeypatch):
+    """The production default wtol=3e-3 imprints ~wtol on the one-shot
+    solve; ONE refine round absorbs the truncation (the measured basis
+    of the default — docs/PERF_NOTES.md section 14)."""
+    prob, F, bv, bp, ref = saddle
+    monkeypatch.setenv("DNS_TPU_WINV", "1")
+    slv = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc)
+    assert slv.Wb is not None
+    for refine, tol in ((0, 5e-3), (1, 5e-6)):
         slv.refine = refine
         out = np.asarray(slv.solve(jnp.asarray(bv), jnp.asarray(bp)))
         rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
