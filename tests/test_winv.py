@@ -59,6 +59,80 @@ def test_winv_loose_default_refine_absorbs(saddle, monkeypatch):
         assert rel < tol, (refine, rel)
 
 
+def _blocktri_spd(rng, bs, nblk, coupling=0.05):
+    """Random SPD block-tridiagonal F with fast off-diagonal inverse
+    decay (diagonally dominant), plus its folded (nblk, bs, 3bs) form."""
+    n = bs * nblk
+    A = np.zeros((n, n))
+    for k in range(nblk):
+        d = rng.standard_normal((bs, bs)) * 0.02
+        A[k * bs:(k + 1) * bs, k * bs:(k + 1) * bs] = d + d.T
+        if k + 1 < nblk:
+            o = rng.standard_normal((bs, bs)) * coupling
+            A[k * bs:(k + 1) * bs, (k + 1) * bs:(k + 2) * bs] = o
+            A[(k + 1) * bs:(k + 2) * bs, k * bs:(k + 1) * bs] = o.T
+    F = np.eye(n) * (1.0 + np.abs(A).sum(1).max()) + A
+    Bblk = np.zeros((nblk, bs, 3 * bs), np.float32)
+    for k in range(nblk):
+        r = slice(k * bs, (k + 1) * bs)
+        if k > 0:
+            Bblk[k, :, :bs] = F[r, (k - 1) * bs:k * bs]
+        Bblk[k, :, bs:2 * bs] = F[r, k * bs:(k + 1) * bs]
+        if k + 1 < nblk:
+            Bblk[k, :, 2 * bs:] = F[r, (k + 1) * bs:(k + 2) * bs]
+    return F, Bblk
+
+
+@pytest.mark.parametrize("nin_off", [0, 37])
+def test_winv_localized_build_matches_dense_inverse(nin_off):
+    """The LOCALIZED W build (each identity chunk solved on a ww+4bs
+    local window — the lvl3 production path, sadpnt._build_winv_banded)
+    must reproduce the dense inverse inside the window to far below the
+    window-truncation level, on a problem where the local window is a
+    PROPER subset of the space (nlocb < nblk) — the regime the
+    full-solver tests cannot reach on CPU sizes (there ww covers nv).
+
+    nin_off > 0 additionally exercises the padded tail (nin < nblk*bs):
+    identity columns beyond nin must stay zero.
+    """
+    from dolfin_navier_scipy_tpu.solve.sadpnt import _build_winv_banded
+
+    rng = np.random.default_rng(3)
+    bs, nblk = 128, 12
+    npad = bs * nblk
+    nin = npad - nin_off
+    F, Bblk = _blocktri_spd(rng, bs, nblk)
+    dinv = 1.0 / np.diag(F)
+    ww = 384
+    ncpw = max(npad, ww)
+    wbases = tuple(min(max(k * bs + (bs - ww) // 2, 0), ncpw - ww)
+                   for k in range(nblk))
+    nlocb = min(nblk, (ww + 4 * bs + bs - 1) // bs)
+    assert nlocb < nblk  # genuinely localized windows
+    W = np.asarray(_build_winv_banded(
+        jnp.asarray(Bblk), dinv[:nin], bs, nblk, nin, wbases, ww, 80))
+
+    # oracle: the PRINCIPAL submatrix inverse — padded rows/cols are
+    # inert in the build (zero Jacobi weight and masked identity cols)
+    Finv = np.zeros((npad, npad))
+    Finv[:nin, :nin] = np.linalg.inv(F[:nin, :nin])
+    err = trunc = 0.0
+    for k in range(nblk):
+        b = wbases[k]
+        sl = Finv[k * bs:(k + 1) * bs, b:b + ww].copy()
+        sl[:, max(nin - b, 0):] = 0.0       # padded-tail columns
+        sl[max(nin - k * bs, 0):, :] = 0.0  # padded-tail rows
+        Wk = W[k].copy()
+        Wk[max(nin - k * bs, 0):, :] = 0.0
+        err = max(err, np.abs(Wk - sl).max())
+        out = np.abs(Finv[k * bs:(k + 1) * bs]).copy()
+        out[:, b:b + ww] = 0.0
+        trunc = max(trunc, out.max())
+    # the build error must sit far below the window-truncation floor
+    assert err < 1e-6, err
+    assert trunc < 1e-4  # sanity: the synthetic decay suits the window
+
+
 def test_winv_gates(saddle, monkeypatch):
     prob, F, bv, bp, ref = saddle
     monkeypatch.setenv("DNS_TPU_WINV", "0")
