@@ -161,7 +161,12 @@ def _ensure_fast_process():
 
     if not _first_dispatch_watchdog():
         _reexec()          # wedged first dispatch: a fresh process fixes it
-        return -1.0        # out of retries (unreachable in practice)
+        # out of retries: every re-exec drew a wedged first dispatch —
+        # the tunnel itself is down, not the per-process lottery.  The
+        # caller must avoid in-process device work (it would hang
+        # forever) and fall back to subprocess-isolated measurements,
+        # which bail out via their own watchdogs.
+        return -2.0
     g = _canary_gbps()
     if jax.default_backend() == "cpu" or g >= _SLOW_MODE_GBPS:
         return g
@@ -646,9 +651,71 @@ def level_steps_per_sec(level, base_steps=20, oracle_steps=300,
     return res
 
 
+# Progressive result accumulation: main() fills this dict milestone by
+# milestone so that the deadline thread (or the degraded wedged-tunnel
+# path) can emit whatever has been measured instead of nothing.  The
+# driver parses the LAST JSON line of stdout — emitting exactly once is
+# enforced by the flag.
+_RESULTS = {"metric": "cnab_steps_per_sec_cylwake2d", "value": None,
+            "unit": "steps/s", "vs_baseline": None}
+_EMITTED = False
+
+
+def _emit(partial=False):
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    if partial:
+        _RESULTS["partial"] = True
+    print(json.dumps(_RESULTS), flush=True)
+
+
+def _start_deadline_thread():
+    """Bound the whole bench: a mid-run tunnel death wedges a dispatch
+    with no error and no CPU (docs/PERF_NOTES.md section 13), which
+    would otherwise hang past the driver's timeout and lose every
+    number already measured.  After DNS_TPU_BENCH_DEADLINE_S (default
+    7000 s) the thread emits the partial JSON and hard-exits."""
+    import threading
+
+    deadline = float(os.environ.get("DNS_TPU_BENCH_DEADLINE_S", "7000"))
+
+    def watch():
+        time.sleep(deadline)
+        _emit(partial=True)
+        os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def _degraded_main():
+    """Tunnel-down fallback: the parent process's first dispatch wedged
+    through every re-exec retry, so NOTHING can run on the device in
+    this process.  Levels still run in fresh subprocesses (each bails
+    out via its own first-dispatch watchdog if the tunnel stays down);
+    lvl1 fills the headline fields from its subprocess twin."""
+    _RESULTS["degraded"] = "wedged parent process; subprocess-only"
+    l1 = level_steps_per_sec(1)
+    if l1.get("l1"):
+        _RESULTS.update(value=l1["l1"], vs_baseline=l1["l1_vs_baseline"],
+                        accurate_rel_err_300_steps=l1.get("l1_rel_err"),
+                        dofs=l1.get("l1_dofs"),
+                        setup_s=l1.get("l1_setup_s"))
+    _RESULTS["level1"] = l1
+    _RESULTS["level2"] = level_steps_per_sec(2)
+    _RESULTS["level3"] = level_steps_per_sec(3, base_steps=12,
+                                             oracle_steps=300)
+    _emit()
+
+
 def main():
     _arm_cache()
+    _start_deadline_thread()
     canary = _ensure_fast_process()
+    if canary == -2.0:
+        _degraded_main()
+        return
     t0 = time.time()
     prob, dt = build()
     from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
@@ -674,6 +741,11 @@ def main():
     dev, v_acc, ops = device_steps_per_sec(prob, dt, mode="accurate",
                                            v0=v0, ops=ops, warm_refine=1)
     first_run_s = round(time.time() - t0, 1)       # compile + first scan
+    _RESULTS.update(value=round(dev, 2),
+                    accurate_mode_steps_per_sec=round(dev, 2),
+                    dofs=int(len(prob.invinds) + prob.np_cond),
+                    setup_s=setup_s, first_run_s=first_run_s,
+                    canary_gbps=round(canary, 1))
     dev_fast, v_fast, _ = device_steps_per_sec(prob, dt, mode="fast",
                                                v0=v0, ops=ops)
     # trajectory accuracy vs the f64 splu oracle over 300 steps
@@ -683,16 +755,23 @@ def main():
                                        mode="accurate", v0=v0, ops=ops,
                                        warm_refine=1)
     rel = float(np.linalg.norm(v_dev - v64) / np.linalg.norm(v64))
+    _RESULTS["accurate_rel_err_300_steps"] = rel
     _, v_devf, _ = device_steps_per_sec(prob, dt, nsteps=300,
                                         mode="fast", v0=v0, ops=ops)
     rel_fast = float(np.linalg.norm(v_devf - v64) / np.linalg.norm(v64))
     # the single-core host baseline jitters ~15% run-to-run; median of 3
     base = float(np.median([baseline_loop(prob, dt, nsteps=100, v0=v0)
                             for _ in range(3)]))
+    _RESULTS.update(vs_baseline=round(dev / base, 2),
+                    baseline_scipy_splu=round(base, 2),
+                    accurate_vs_baseline=round(dev / base, 2),
+                    fast_mode_steps_per_sec=round(dev_fast, 2),
+                    fast_rel_err_300_steps=rel_fast)
     # session-quality normalizer: per-application in-scan cost (the
     # tunneled TPU's windows differ by multiples run-to-run; steps/s
     # is only comparable across sessions via this number)
     app_us = measure_app_us(prob, dt)
+    _RESULTS["session_app_us_lvl1"] = round(app_us, 1)
     # batched-trajectory throughput (parameter-sweep mode): aggregate
     # trajectory-steps/s for B vmapped members of one scan
     ens = {}
@@ -711,7 +790,9 @@ def main():
                                         scan="dense"), 1)
     except Exception as e:
         ens["B64_dense_error"] = repr(e)[:120]
+    _RESULTS["ensemble"] = ens
     l2 = level_steps_per_sec(2)
+    _RESULTS["level2"] = l2
     # lvl3 floors at ~3e-6 trajectory error regardless of refinement
     # (refine=1: 3.8e-6 at 36.95 steps/s; refine=2: 2.7e-6 at 26.2 —
     # one round contracts the 4e-3 unrefined solve floor by ~1e-3,
@@ -719,26 +800,8 @@ def main():
     # floor of the 113k-dof mesh, not solve tolerance.  refine=1 is
     # therefore the honest headline config at lvl3.
     l3 = level_steps_per_sec(3, base_steps=12, oracle_steps=300)
-    print(json.dumps({
-        "metric": "cnab_steps_per_sec_cylwake2d",
-        "value": round(dev, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(dev / base, 2),
-        "baseline_scipy_splu": round(base, 2),
-        "accurate_mode_steps_per_sec": round(dev, 2),
-        "accurate_vs_baseline": round(dev / base, 2),
-        "fast_mode_steps_per_sec": round(dev_fast, 2),
-        "accurate_rel_err_300_steps": rel,
-        "fast_rel_err_300_steps": rel_fast,
-        "dofs": int(len(prob.invinds) + prob.np_cond),
-        "setup_s": setup_s,
-        "first_run_s": first_run_s,
-        "session_app_us_lvl1": round(app_us, 1),
-        "canary_gbps": round(canary, 1),
-        "ensemble": ens,
-        "level2": l2,
-        "level3": l3,
-    }))
+    _RESULTS["level3"] = l3
+    _emit()
 
 
 if __name__ == "__main__":
