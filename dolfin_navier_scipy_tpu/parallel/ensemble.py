@@ -236,7 +236,10 @@ def make_ensemble_wspace_scan(prob, dt, theta=0.5, precision="accurate",
     fvf[prob.invinds] = np.asarray(prob.fv).ravel()
     fv_w = jnp.asarray(fvf, w)[jnp.asarray(wsrc)]
     pidx = np.asarray(slv.pidx)
-    fp_w = jnp.asarray(np.asarray(prob.fp).ravel())[jnp.asarray(pidx)]
+    # work-dtype cast is load-bearing: fp rides the scan carry as the
+    # gp component — untyped (f64 under x64) it flips the carry dtype
+    # between input and output and lax.scan rejects the body
+    fp_w = jnp.asarray(np.asarray(prob.fp).ravel(), w)[jnp.asarray(pidx)]
 
     vbc = np.asarray(prob.bc_full_vec())
     bct = build_banded_conv_tail(kern_w, nin_p,

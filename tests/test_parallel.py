@@ -158,6 +158,32 @@ def test_ensemble_wspace_scan_matches_dense(prob):
     assert np.array_equal(V2[0], V2[B - 1])
 
 
+def test_ensemble_wspace_scan_fast_precision(prob):
+    """precision='fast' runs the w-space ensemble scan with an f32 work
+    dtype on EVERY backend — the TPU configuration, where an untyped
+    f64 leak into the scan carry (e.g. the fp/gp component) makes
+    lax.scan reject the body with a carry-type mismatch (regression:
+    BENCH r03 ensemble sweep failed with exactly that while the
+    accurate-mode CPU test passed on its f64 work dtype)."""
+    from dolfin_navier_scipy_tpu.parallel.ensemble import (
+        make_ensemble_wspace_scan)
+
+    dt, nsteps, B = 1e-3, 6, 3
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = np.asarray(vss).ravel()[prob.invinds]
+    V0 = np.stack([v0 * (1 + 0.02 * k) for k in range(B)])
+    run_f, _ = make_ensemble_wspace_scan(prob, dt, refine=1,
+                                         precision="fast")
+    Vf = np.asarray(run_f(V0, nsteps))
+    assert np.isfinite(Vf).all()
+    # f32 carry, but still the physical trajectory: compare member 0
+    # against the accurate-mode scan at the f32 increment floor
+    run_a, _ = make_ensemble_wspace_scan(prob, dt, refine=1)
+    Va = np.asarray(run_a(V0, nsteps))
+    rel = np.linalg.norm(Vf[0] - Va[0]) / np.linalg.norm(Va[0])
+    assert rel < 1e-5, rel
+
+
 def test_element_sharded_ops_match_serial():
     """Element-axis sharded affine/convection operators (psum reduction,
     no full-vector all-gather) reproduce the serial matvecs exactly."""
