@@ -637,6 +637,9 @@ def level_steps_per_sec(level, base_steps=20, oracle_steps=300,
             f" warm_refine={warm_refine})))")
     res = {f"l{level}": None}
     for _attempt in range(3):
+        # each attempt is bounded by the subprocess timeout below; tell
+        # the stall monitor to stand down for that long
+        _phase(f"level{level}_attempt{_attempt}", grace_s=2500.0)
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code],
@@ -689,6 +692,44 @@ def _start_deadline_thread():
     threading.Thread(target=watch, daemon=True).start()
 
 
+# Phase-aware stall watchdog: the global deadline above is the last
+# line of defense, but a mid-run wedge (observed: zero CPU for 15+ min
+# right after the canary, socket idle) should not cost the full 7000 s.
+# main() stamps a heartbeat before each phase with a grace period sized
+# to that phase; the monitor trips when a phase overruns its grace.
+_HEARTBEAT = {"t": time.time(), "grace": 1e18, "label": "start"}
+
+
+def _phase(label, grace_s=900.0):
+    _HEARTBEAT.update(t=time.time(), grace=float(grace_s), label=label)
+
+
+def _start_stall_thread():
+    """On a phase overrun: if nothing has been measured yet, re-exec
+    the bench (a fresh process un-wedges the tunnel in practice, and
+    the compile cache makes the retry cheap); otherwise emit the
+    partial JSON and exit, preserving what was measured."""
+    import sys
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(20)
+            if time.time() - _HEARTBEAT["t"] <= _HEARTBEAT["grace"]:
+                continue
+            tries = int(os.environ.get("DNS_TPU_BENCH_STALL_RETRY", "0"))
+            if _RESULTS.get("value") is None and tries < 2:
+                env = dict(os.environ,
+                           DNS_TPU_BENCH_STALL_RETRY=str(tries + 1))
+                os.execve(sys.executable,
+                          [sys.executable] + sys.argv, env)
+            _RESULTS["stalled_at"] = _HEARTBEAT["label"]
+            _emit(partial=True)
+            os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def _degraded_main():
     """Tunnel-down fallback: the parent process's first dispatch wedged
     through every re-exec retry, so NOTHING can run on the device in
@@ -712,11 +753,14 @@ def _degraded_main():
 def main():
     _arm_cache()
     _start_deadline_thread()
+    _start_stall_thread()
+    _phase("canary", grace_s=600.0)
     canary = _ensure_fast_process()
     if canary == -2.0:
         _degraded_main()
         return
     t0 = time.time()
+    _phase("build")
     prob, dt = build()
     from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
 
@@ -732,12 +776,15 @@ def main():
     # tolerance on the first O(1)-sized increment
     from dolfin_navier_scipy_tpu.solve import solve_nse
 
+    _phase("stokes_init")
     v0 = np.asarray(solve_nse(prob=prob, t0=0.0, tE=dt, Nts=1,
                               start_ssstokes=True, save_every=None,
                               linsolver="schur")["iniv"])
     t0 = time.time()
     # accurate = banded + one warm-refine round (rel_err 4.3e-8 at
-    # lvl1); fast = the same solver unrefined (2.5e-7)
+    # lvl1); fast = the same solver unrefined (2.5e-7).  Grace covers a
+    # cache-cold remote compile (~180 s) with a wide margin.
+    _phase("accurate_steps", grace_s=1200.0)
     dev, v_acc, ops = device_steps_per_sec(prob, dt, mode="accurate",
                                            v0=v0, ops=ops, warm_refine=1)
     first_run_s = round(time.time() - t0, 1)       # compile + first scan
@@ -746,20 +793,25 @@ def main():
                     dofs=int(len(prob.invinds) + prob.np_cond),
                     setup_s=setup_s, first_run_s=first_run_s,
                     canary_gbps=round(canary, 1))
+    _phase("fast_steps", grace_s=1200.0)
     dev_fast, v_fast, _ = device_steps_per_sec(prob, dt, mode="fast",
                                                v0=v0, ops=ops)
     # trajectory accuracy vs the f64 splu oracle over 300 steps
     _, _, _ = dev, dev_fast, v_fast
+    _phase("oracle_300")
     _, v64 = baseline_loop(prob, dt, nsteps=300, v0=v0, return_v=True)
+    _phase("accurate_300")
     _, v_dev, _ = device_steps_per_sec(prob, dt, nsteps=300,
                                        mode="accurate", v0=v0, ops=ops,
                                        warm_refine=1)
     rel = float(np.linalg.norm(v_dev - v64) / np.linalg.norm(v64))
     _RESULTS["accurate_rel_err_300_steps"] = rel
+    _phase("fast_300")
     _, v_devf, _ = device_steps_per_sec(prob, dt, nsteps=300,
                                         mode="fast", v0=v0, ops=ops)
     rel_fast = float(np.linalg.norm(v_devf - v64) / np.linalg.norm(v64))
     # the single-core host baseline jitters ~15% run-to-run; median of 3
+    _phase("splu_baseline")
     base = float(np.median([baseline_loop(prob, dt, nsteps=100, v0=v0)
                             for _ in range(3)]))
     _RESULTS.update(vs_baseline=round(dev / base, 2),
@@ -770,6 +822,7 @@ def main():
     # session-quality normalizer: per-application in-scan cost (the
     # tunneled TPU's windows differ by multiples run-to-run; steps/s
     # is only comparable across sessions via this number)
+    _phase("app_us")
     app_us = measure_app_us(prob, dt)
     _RESULTS["session_app_us_lvl1"] = round(app_us, 1)
     # batched-trajectory throughput (parameter-sweep mode): aggregate
@@ -777,6 +830,7 @@ def main():
     ens = {}
     for B in (16, 64, 128):
         try:
+            _phase(f"ensemble_B{B}", grace_s=1200.0)
             agg = ensemble_traj_steps_per_sec(prob, dt, v0, B=B)
             ens[f"B{B}_traj_steps_per_sec"] = round(agg, 1)
             ens[f"B{B}_vs_serial_device"] = round(agg / dev, 2)
@@ -785,6 +839,7 @@ def main():
             ens[f"B{B}_error"] = repr(e)[:120]
     try:
         # dense-inverse comparison point (the pre-round-3 ensemble path)
+        _phase("ensemble_B64_dense", grace_s=1200.0)
         ens["B64_dense_traj_steps_per_sec"] = round(
             ensemble_traj_steps_per_sec(prob, dt, v0, B=64,
                                         scan="dense"), 1)
