@@ -30,6 +30,8 @@ device-sharded layout inside solver loops (``to_perm``/``from_perm``
 translate at the boundaries — O(n) local gathers, no collectives).
 """
 
+import os
+
 import numpy as np
 
 import jax
@@ -444,7 +446,8 @@ class HaloConvKernel:
     matvecs + local quadrature + the standard halo return.
     """
 
-    def __init__(self, kern: ConvectionKernel, halo: HaloAffineOps, prob):
+    def __init__(self, kern: ConvectionKernel, halo: HaloAffineOps, prob,
+                 banded=None):
         if halo._build is None:
             raise ValueError("halo must be a freshly built HaloAffineOps "
                              "(the partition record is build-time only)")
@@ -503,6 +506,21 @@ class HaloConvKernel:
                         np.where(isbc >= 0, win_v + isbc, drop))
         vloc = np.where(dummy[:, :, None], drop, vloc)
 
+        # sort each device's elements by the mean WINDOW position of
+        # their interior dofs (the ops/banded_conv.py ordering, applied
+        # per shard): interior couplings then fit a static column
+        # window.  Consistent permutation of the dof tables and the
+        # element-data slices — harmless for the index pipeline,
+        # prerequisite for the banded tail below.
+        emsk = vloc < win_v
+        mpos = (np.where(emsk, vloc, 0).sum(2)
+                / np.maximum(emsk.sum(2), 1)).astype(np.float64)
+        mpos[~emsk.any(2)] = win_v
+        eorder = np.argsort(mpos, axis=1, kind="stable")
+        vloc = np.take_along_axis(vloc, eorder[:, :, None], 1)
+        sel = np.take_along_axis(sel, eorder, 1)
+        dummy = np.take_along_axis(dummy, eorder, 1)
+
         def slice_e(arr, fill=0.0):
             a = arr[:nc_real][sel.reshape(-1)].copy()
             a[dummy.reshape(-1)] = fill
@@ -543,10 +561,136 @@ class HaloConvKernel:
                                 "nc_real", "dim"))
         self.bc_vals = put_r(self.bc_vals_host)
         self.win_v = win_v
+        self.b_leaves = None
+        self._build_banded_tail(vloc, win_v, nbc, mesh, axis, banded,
+                                np.dtype(kern.wdet.dtype))
+
+    def _build_banded_tail(self, vloc, win_v, nbc, mesh, axis, banded,
+                           bdtype):
+        """Per-shard banded convection tail (ops/banded_conv.py, applied
+        device-local): with each device's elements sorted along its
+        window, the 0/1 scatter ``S (win_v, nvals)`` / gather
+        ``G (nvals, win_v)`` matrices are static-window banded, so the
+        local convection assembly becomes two banded matmuls around the
+        quadrature contraction — the per-dof gather and ``segment_sum``
+        scatter (the TPU-hostile index ops, docs/PERF_NOTES.md section
+        10) leave the halo hot loop.  Window bases are unified across
+        devices (max span) so the SPMD program stays static; the RCM
+        band structure is near-identical per shard, so the inflation is
+        small.  ``banded``: True forces, False disables, None gates on
+        the predicted HBM stream cost (same model as
+        :func:`..ops.banded_conv.build_banded_conv_tail`).
+        """
+        if banded is False or (banded is None and os.environ.get(
+                "DNS_TPU_BANDED_CONV", "1") == "0"):
+            return
+        import scipy.sparse as sps
+
+        ndev, nc_loc, nd = vloc.shape
+        nvals = nc_loc * nd
+        bs = 256
+        nblk_s = max(1, -(-win_v // bs))
+        nblk_g = max(1, -(-nvals // bs))
+        cols = np.broadcast_to(
+            np.arange(nvals).reshape(nc_loc, nd), vloc.shape)
+        keep = vloc < win_v
+
+        def spans(rows, cls, nblk):
+            lo = np.full(nblk, np.iinfo(np.int64).max)
+            hi = np.full(nblk, -1)
+            if rows.size:
+                np.minimum.at(lo, rows // bs, cls)
+                np.maximum.at(hi, rows // bs, cls)
+            return lo, hi
+
+        def unify(per_dev, ncols):
+            lo = np.minimum.reduce([l for l, _ in per_dev])
+            hi = np.maximum.reduce([h for _, h in per_dev])
+            empty = hi < 0
+            lo[empty], hi[empty] = 0, 0
+            w = int((hi - lo + 1).max())
+            w = max(128, -(-w // 128) * 128)
+            pad = max(ncols, w)
+            bases = tuple(int(min(max(b, 0), pad - w)) for b in lo)
+            return bases, w, pad
+
+        sbases, wS, spad = unify(
+            [spans(vloc[d][keep[d]], cols[d][keep[d]], nblk_s)
+             for d in range(ndev)], nvals)
+        gbases, wG, gpad = unify(
+            [spans(cols[d][keep[d]], vloc[d][keep[d]], nblk_g)
+             for d in range(ndev)], win_v)
+
+        if banded is not True:
+            by = (nblk_s * bs * wS + nblk_g * bs * wG) * bdtype.itemsize
+            max_gb = float(os.environ.get("DNS_TPU_BANDED_CONV_MAXGB",
+                                          "1.0"))
+            banded_us = by / 600e9 * 1e6
+            index_us = 46.0 * win_v / 1000.0
+            if by > max_gb * 1e9 or banded_us > 0.8 * index_us:
+                return
+
+        Sb = np.zeros((ndev, nblk_s, bs, wS), bdtype)
+        Gb = np.zeros((ndev, nblk_g, bs, wG), bdtype)
+        for d in range(ndev):
+            r, c = vloc[d][keep[d]], cols[d][keep[d]]
+            Sd = sps.coo_matrix(
+                (np.ones(len(r)), (r, c)), shape=(win_v, nvals)).tocsr()
+            Gd = Sd.T.tocsr()
+            for k, b in enumerate(sbases):
+                sub = Sd[k * bs: min((k + 1) * bs, win_v),
+                         b: min(b + wS, nvals)].toarray()
+                Sb[d, k, : sub.shape[0], : sub.shape[1]] = sub
+            for k, b in enumerate(gbases):
+                sub = Gd[k * bs: min((k + 1) * bs, nvals),
+                         b: min(b + wG, win_v)].toarray()
+                Gb[d, k, : sub.shape[0], : sub.shape[1]] = sub
+
+        # constant element field from the frozen Dirichlet tail
+        # (interior-window positions contribute via G instead)
+        nloc = win_v + nbc
+        vpad = np.zeros(nloc + 1)
+        vpad[win_v:nloc] = self.bc_vals_host
+        ue_bc = vpad[np.minimum(vloc, nloc)].astype(bdtype)
+
+        def put_e(a):
+            a = jnp.asarray(a)
+            return jax.device_put(a, NamedSharding(
+                mesh, P(axis, *([None] * (a.ndim - 1)))))
+
+        self.b_leaves = (put_e(Sb), put_e(Gb), put_e(ue_bc))
+        self.b_specs = (P(axis, None, None, None),
+                        P(axis, None, None, None),
+                        P(axis, None, None))
+        self.b_meta = dict(sbases=sbases, wS=wS, spad=spad,
+                           gbases=gbases, wG=wG, gpad=gpad, nvals=nvals)
+
+
+def _banded_conv_local(lk, Sb, Gb, ue_bc, meta, win_v, xw):
+    """Device-local banded convection application: window velocity
+    ``xw (win_v,)`` -> window loads ``(win_v,)`` via G-matmul ->
+    quadrature contraction (same math as ``ConvectionKernel.vector``,
+    reference dolfin_to_sparrays.py:427-472) -> S-matmul."""
+    from ..solve.sadpnt import _rect_mv
+
+    dt = lk.wdet.dtype
+    ue = _rect_mv(Gb, meta["gbases"], meta["wG"], meta["nvals"],
+                  meta["gpad"], xw.astype(dt))
+    ue = ue.reshape(lk.nc, -1) + ue_bc
+    uq = lk._bmm(ue, lk.W1blk, lk.dim * lk.Q).reshape(
+        lk.nc, lk.Q, lk.dim)
+    rg = lk._bmm(ue, lk.W2blk, lk.dim * lk.dim * lk.Q).reshape(
+        lk.nc, lk.Q, lk.dim, lk.dim)
+    guq = jnp.einsum("edk,eqkc->eqcd", lk.JinvT, rg)
+    conv = jnp.einsum("eqd,eqcd->eqc", uq, guq)
+    wconv = (lk.wdet[:, :, None] * conv).reshape(lk.nc, lk.dim * lk.Q)
+    fe = lk._bmm(wconv, lk.W3blk, lk.dim * lk.nvpc)
+    return _rect_mv(Sb, meta["sbases"], meta["wS"], win_v,
+                    meta["spad"], fe.reshape(-1))
 
 
 def make_halo_cnab_step(prob, dt, mesh, axis="elem", theta=0.5,
-                        dtype=jnp.float64):
+                        dtype=jnp.float64, banded_conv=None):
     """Build the fully-sharded halo CNAB machinery: the state never
     leaves the permuted band-sharded layout; all per-step work (nonlinear
     convection assembly, A-matvec, the nested matrix-free block-Schur
@@ -566,7 +710,7 @@ def make_halo_cnab_step(prob, dt, mesh, axis="elem", theta=0.5,
     aff = prob.affine_ops(dtype)
     halo = HaloAffineOps(aff, mesh, axis)
     kern = ConvectionKernel(prob.ctx, dtype=dtype)
-    hconv = HaloConvKernel(kern, halo, prob)
+    hconv = HaloConvKernel(kern, halo, prob, banded=banded_conv)
 
     F = sps.csr_matrix(prob.Mc + theta * dt * prob.Ac)
     dinvF = 1.0 / np.asarray(F.diagonal()).ravel()
@@ -715,12 +859,17 @@ def halo_cnab_scan(halo, hconv, bundle, v0p, nsteps, dt, theta=0.5,
     win_v = hconv.win_v
     cm, ca = 1.0, theta * dt
     na, nc_ = len(halo.leaves), len(hconv.leaves)
+    bnd = hconv.b_leaves is not None
+    b_leaves = hconv.b_leaves if bnd else ()
+    b_specs = hconv.b_specs if bnd else ()
+    nb_ = len(b_leaves)
 
     def local(*args):
         la_lv = args[:na]
         lc_lv = list(args[na: na + nc_])
+        b_lv = args[na + nc_: na + nc_ + nb_]
         (bc_vals, fv, fp, dinvF, dinvS, dinvMp, v0,
-         nfc0) = args[na + nc_:]
+         nfc0) = args[na + nc_ + nb_:]
         la = AffineVectorOps.tree_unflatten(aux_a, la_lv)
         lc_lv[-1] = lc_lv[-1].reshape(-1)
         lk = ConvectionKernel.tree_unflatten(aux_c, tuple(lc_lv))
@@ -759,8 +908,14 @@ def halo_cnab_scan(halo, hconv, bundle, v0p, nsteps, dt, theta=0.5,
             return unwin(la.jt_matvec(win(qs, hp)), h, nb)
 
         def conv(xs):
-            u_loc = jnp.concatenate([win(xs, h), bc_vals])
-            return unwin(lk.vector(u_loc)[:win_v], h, nb)
+            xw = win(xs, h)
+            if bnd:
+                y = _banded_conv_local(lk, b_lv[0][0], b_lv[1][0],
+                                       b_lv[2][0], hconv.b_meta,
+                                       win_v, xw)
+            else:
+                y = lk.vector(jnp.concatenate([xw, bc_vals]))[:win_v]
+            return unwin(y, h, nb)
 
         def dot(u, v):
             return lax.psum(jnp.dot(u, v), ax)
@@ -782,15 +937,20 @@ def halo_cnab_scan(halo, hconv, bundle, v0p, nsteps, dt, theta=0.5,
     # its own small shard_map, matching the serial cnab hand-off)
     def conv_init(*args):
         lc_lv = list(args[:nc_])
-        bc_vals, xs = args[nc_:]
+        b_lv = args[nc_: nc_ + nb_]
+        bc_vals, xs = args[nc_ + nb_:]
         lc_lv[-1] = lc_lv[-1].reshape(-1)
         lk = ConvectionKernel.tree_unflatten(aux_c, tuple(lc_lv))
         from_left = lax.ppermute(
             xs[-h:], ax, [(i, i + 1) for i in range(halo.ndev - 1)])
         from_right = lax.ppermute(
             xs[:h], ax, [(i + 1, i) for i in range(halo.ndev - 1)])
-        u_loc = jnp.concatenate([from_left, xs, from_right, bc_vals])
-        ow = lk.vector(u_loc)[:win_v]
+        xw = jnp.concatenate([from_left, xs, from_right])
+        if bnd:
+            ow = _banded_conv_local(lk, b_lv[0][0], b_lv[1][0],
+                                    b_lv[2][0], hconv.b_meta, win_v, xw)
+        else:
+            ow = lk.vector(jnp.concatenate([xw, bc_vals]))[:win_v]
         to_left = lax.ppermute(
             ow[:h], ax, [(i + 1, i) for i in range(halo.ndev - 1)])
         to_right = lax.ppermute(
@@ -803,15 +963,15 @@ def halo_cnab_scan(halo, hconv, bundle, v0p, nsteps, dt, theta=0.5,
 
     nfc0 = shard_map(
         conv_init, mesh=halo.mesh,
-        in_specs=hconv.in_specs + (P(), P(ax)),
+        in_specs=hconv.in_specs + b_specs + (P(), P(ax)),
         out_specs=P(ax), check_rep=False,
-    )(*hconv.leaves, bundle["bc_vals"], v0p)
+    )(*hconv.leaves, *b_leaves, bundle["bc_vals"], v0p)
 
     return shard_map(
         local, mesh=halo.mesh,
-        in_specs=(halo.in_specs + hconv.in_specs
+        in_specs=(halo.in_specs + hconv.in_specs + b_specs
                   + (P(),) + (P(ax),) * 7),
         out_specs=P(ax), check_rep=False,
-    )(*halo.leaves, *hconv.leaves, bundle["bc_vals"], bundle["fv"],
-      bundle["fp"], bundle["dinvF"], bundle["dinvS"], bundle["dinvMp"],
-      v0p, nfc0)
+    )(*halo.leaves, *hconv.leaves, *b_leaves, bundle["bc_vals"],
+      bundle["fv"], bundle["fp"], bundle["dinvF"], bundle["dinvS"],
+      bundle["dinvMp"], v0p, nfc0)

@@ -502,3 +502,37 @@ def test_halo_cnab_full_step(prob_halo):
         vo, nfo = sol[:nin], nfc
     rel_oracle = np.linalg.norm(v_halo - vo) / np.linalg.norm(vo)
     assert rel_oracle < 1e-6, rel_oracle
+
+
+def test_halo_banded_conv_matches_element(prob_halo):
+    """The per-shard banded convection tail (static-window S/G matmuls,
+    unified window bases across devices — parallel/halo.py
+    _build_banded_tail) reproduces the element-pipeline halo scan to
+    f64 roundoff, and the banded build actually engaged."""
+    from dolfin_navier_scipy_tpu.parallel.halo import (
+        halo_cnab_scan, make_halo_cnab_step,
+    )
+    from dolfin_navier_scipy_tpu.solve import solve_steadystate_nse
+
+    prob = prob_halo
+    dt, theta = 2e-3, 0.5
+    nsteps = 12
+    vss = solve_steadystate_nse(prob, verbose=False, vel_nwtn_tol=1e-12)
+    v0 = np.asarray(vss).ravel()[prob.invinds]
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("elem",))
+    out = {}
+    with mesh:
+        for key, banded in (("banded", True), ("element", False)):
+            halo, hconv, bundle = make_halo_cnab_step(
+                prob, dt, mesh, theta=theta, banded_conv=banded)
+            assert (hconv.b_leaves is not None) == banded
+            v0p = halo.to_perm(jnp.asarray(v0))
+            vT = halo.from_perm(halo_cnab_scan(
+                halo, hconv, bundle, v0p, nsteps, dt, theta=theta,
+                niter_f=30, niter_s=10, niter_lp=25))
+            out[key] = np.asarray(vT)
+    rel = (np.linalg.norm(out["banded"] - out["element"])
+           / np.linalg.norm(out["element"]))
+    assert rel < 1e-10, rel
