@@ -1086,17 +1086,26 @@ class SchurSaddleSolver:
         if banded == "auto":
             banded = _os.environ.get("DNS_TPU_BANDED", "1") != "0"
             if banded:
-                # 3D / badly-ordered meshes: the RCM bandwidth can make
-                # the block-tridiagonal storage exceed HBM — fall back
-                # to the element-pipeline PCG automatically
+                # 3D / badly-ordered meshes: the RCM bandwidth scales
+                # ~n^(2/3), so the block-tridiagonal storage can exceed
+                # HBM — and before that, the per-application HBM stream
+                # can exceed the element pipeline's cost (the 3D-1Z
+                # 50.6k-dof band is 2.9 GB = ~4.8 ms/matvec vs ~2.3 ms
+                # element).  Gate on BOTH: the absolute cap and the
+                # stream-vs-element cost model (docs/PERF_NOTES.md
+                # section 8, same form as the banded-conv-tail gate).
                 cap = float(_os.environ.get("DNS_TPU_BANDED_MAXGB", "3"))
                 est = _banded_bandwidth_gb(F)
-                if est > cap:
+                band_us = est * 1e9 / 600e9 * 1e6
+                elem_us = 46.0 * F.shape[0] / 1000.0
+                if est > cap or band_us > 0.8 * elem_us:
                     import logging
 
                     logging.getLogger(__name__).info(
-                        "banded F-band storage %.1f GB > cap %.1f GB; "
-                        "using the element-pipeline Schur path", est, cap)
+                        "banded F band %.2f GB (~%.0f us/apply) vs cap "
+                        "%.1f GB / element ~%.0f us; using the "
+                        "element-pipeline Schur path", est, band_us,
+                        cap, elem_us)
                     banded = False
         perm = pp = None
         if banded:
