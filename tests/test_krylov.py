@@ -197,3 +197,37 @@ def test_banded_matvec_exact_and_solver_equivalent(monkeypatch):
     xe = np.asarray(se.solve(jnp.asarray(bv), zp))
     assert np.linalg.norm(xb - xe) / np.linalg.norm(xe) < 1e-4, (
         np.linalg.norm(xb - xe) / np.linalg.norm(xe))
+
+
+def test_banded_auto_gate_uses_stream_cost(monkeypatch):
+    """The linsolver auto gate engages the banded F path only when the
+    predicted per-application HBM stream beats the element pipeline —
+    a wide-band matrix under the storage cap must still fall back (the
+    3D-1Z mesh band is 2.9 GB < the 3 GB cap but ~2x slower than the
+    element path; the small-n crossover of the cost model is ~2k)."""
+    import scipy.sparse as sps
+
+    from dolfin_navier_scipy_tpu.models import drivencavity_problem
+    from dolfin_navier_scipy_tpu.solve.sadpnt import SchurSaddleSolver
+
+    monkeypatch.setenv("DNS_TPU_BANDED", "1")
+    prob = drivencavity_problem(N=8, nu=1e-2)
+    dt = 1e-3
+    F = sps.csr_matrix(prob.Mc + 0.5 * dt * prob.Ac)
+    # narrow band (2D FEM): stream model predicts a win -> banded on
+    s_narrow = SchurSaddleSolver(F, prob.Jc, prob.JTc, ncg=8)
+    assert s_narrow.Bblk is not None
+
+    # synthetic wide-band SPD system at n=4096: a random coupling
+    # pattern has no narrow RCM ordering, so the full-width band
+    # (~200 MB, well under the storage cap) streams slower than the
+    # element model predicts for the pipeline -> auto must fall back
+    n = 4096
+    rng = np.random.default_rng(0)
+    R = sps.random(n, n, density=0.01, random_state=rng)
+    Fw = sps.csr_matrix(sps.eye(n) * 4.0 + 1e-9 * (R + R.T))
+    rj = rng.integers(0, n, size=200)
+    cj = np.repeat(np.arange(20), 10)
+    Jw = sps.csr_matrix((np.ones(200), (cj, rj)), shape=(20, n))
+    s_wide = SchurSaddleSolver(Fw, Jw, Jw.T, ncg=8)
+    assert s_wide.Bblk is None
