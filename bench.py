@@ -1,49 +1,58 @@
 """Headline benchmark: CNAB time-integration throughput on the DFG
 cylinder wake (the reference's 2D-2 configuration: Re=100, charvel=1).
 
-Prints ONE JSON line:
+Prints at least ONE JSON line; the driver parses the LAST one.  The
+bench emits a minimal line IMMEDIATELY at startup and re-emits the
+full (progressively enriched) result dict after every milestone, so a
+mid-run kill can never lose what was already measured:
     {"metric": ..., "value": steps/s (device), "unit": "steps/s",
-     "vs_baseline": speedup over the reference-style scipy-splu loop}
+     "vs_baseline": speedup over the reference-style scipy-splu loop,
+     "level2": {...}, "level3": {...}, ...}
 
 The baseline twin reproduces the reference's per-step recipe
-(time_int_utils.py:104-143): one scipy ``splu`` factorization reused for
-all steps + per-step convection re-assembly (host, vectorized numpy —
-*faster* than the reference's FEniCS round trip, so the reported
-speedup is conservative).
+(time_int_utils.py:104-143): one scipy ``splu`` factorization reused
+for all steps + per-step convection re-assembly (host, vectorized
+numpy — *faster* than the reference's FEniCS round trip, so the
+reported speedup is conservative).
 
-The device loop is the INCREMENT-form CNAB step (solve/timeint.py) in
-the full-dof state layout: all per-step arithmetic is f32 on the MXU;
-because the saddle solve targets the O(dt)-sized increment, the
-f64-carried trajectory matches the f64 splu trajectory to ~5e-8 over
-300 steps (measured) — there is no separate slow "f64 mode" anymore.
-``accurate`` (f64 carry) and ``fast`` (f32 carry) share the kernels.
-Measured on v5e (exclusive machine): ~750 steps/s accurate = ~12x the
-splu baseline at 8k dofs (fused convection+stiffness element pipeline,
-full-dof layout) in a GOOD tunnel window.  CAVEAT (docs/PERF_NOTES.md
-section 5): the tunneled TPU's absolute throughput varies by MULTIPLES
-across sessions/time-windows (measured 245-731 steps/s for the same
-lvl1 configuration); ``session_app_us_lvl1`` in the JSON records the
-per-application in-scan cost of the same session so numbers can be
-normalized — a step is ~(n_applications x that).  Levels 2/3 run the
-block-Schur path with ``warm_refine=1`` (one residual round per step):
-the reported steps/s and the <=1e-6 ``rel_err`` come from the SAME
-configuration; the ``_fast`` twin (no refine; floor = the active
-solver tolerance — PCG ~2e-4 / W-truncation wtol) is ~2x.
+ARCHITECTURE (round 4, after BENCH_r03 was lost to a wedged tunnel):
+the parent process NEVER touches the device.  Every measurement runs
+in a bounded subprocess with its own first-dispatch watchdog (the
+tunneled runtime occasionally hangs a process's first dispatch forever
+— docs/PERF_NOTES.md section 13) and slow-mode canary (section 9);
+wedged/slow subprocesses bail out in ~1 min and the parent retries in
+a fresh process (the per-process lottery) or marks the tunnel wedged.
+Worst case with a dead tunnel: the startup JSON is out at t=0 and the
+``"wedged": true`` line within ~3 min.  Budgets are sized so the whole
+bench ends before ``DNS_TPU_BENCH_DEADLINE_S`` (default 1500 s) under
+ANY failure mode.
+
+Accuracy/measurement notes (unchanged from round 3): the device loop
+is the INCREMENT-form CNAB step (solve/timeint.py); ``accurate`` runs
+the banded w-space solver with one residual-refine round per step and
+reports steps/s and rel_err (vs the f64 splu oracle over 300 steps)
+from the SAME configuration; the ``_fast`` twin (no refine) is ~2x.
+The tunneled TPU's absolute throughput varies by MULTIPLES across
+sessions (PERF_NOTES section 5); ``session_app_us_lvl1`` normalizes.
+``lN_hbm_gbps``/``lN_pct_of_hbm_peak`` derive bytes-per-step from the
+banded block shapes actually streamed each step (peak via
+``DNS_TPU_HBM_PEAK_GBPS``, default 819 = v5e).
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 # Older toolchains registered the tunneled-TPU plugin as platform
 # "axon"; current ones register it as plain "tpu".  A stale
-# JAX_PLATFORMS=axon pin then hard-fails backend init ("'axon' is not
-# in the list of known backends").  Clearing the pin is safe in both
-# worlds: auto-selection prefers any accelerator plugin over cpu.
+# JAX_PLATFORMS=axon pin then hard-fails backend init.
 if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
     os.environ["JAX_PLATFORMS"] = ""
+
+_HBM_PEAK_GBPS = float(os.environ.get("DNS_TPU_HBM_PEAK_GBPS", "819"))
 
 
 def _arm_cache():
@@ -59,7 +68,7 @@ def _arm_cache():
         pass
 
 
-def _first_dispatch_watchdog(timeout_s=120):
+def _first_dispatch_watchdog(timeout_s=None):
     """The tunneled runtime occasionally hangs a process's FIRST device
     dispatch indefinitely (no CPU, no error; the same code in a fresh
     process runs immediately — observed repeatedly on 2026-08-19).
@@ -71,11 +80,15 @@ def _first_dispatch_watchdog(timeout_s=120):
     import jax
     import jax.numpy as jnp
 
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("DNS_TPU_BENCH_WATCHDOG_S", "60"))
     if jax.default_backend() == "cpu":
         return True
     done = threading.Event()
 
     def ping():
+        if os.environ.get("DNS_TPU_BENCH_SIMULATE_WEDGE"):
+            time.sleep(1e9)          # kill-test hook: fake a dead tunnel
         x = jnp.ones((128, 128), jnp.float32)
         (x @ x).block_until_ready()
         done.set()
@@ -141,37 +154,8 @@ def _canary_gbps():
 # processes measured 82-270 GB/s (the low end under concurrent load),
 # slow-mode processes 5-20 GB/s.  50 splits the two populations with
 # margin on both sides; misclassifying healthy-as-slow only costs a
-# bounded re-exec.
+# bounded retry.
 _SLOW_MODE_GBPS = 50.0
-
-
-def _ensure_fast_process():
-    """Re-exec the bench (bounded) when this process drew the slow
-    mode — steps/s from a slow-mode process are meaningless.  Returns
-    the measured canary GB/s for the output JSON."""
-    import jax
-
-    def _reexec():
-        tries = int(os.environ.get("DNS_TPU_BENCH_RETRY", "0"))
-        if tries < 2:
-            import sys
-
-            env = dict(os.environ, DNS_TPU_BENCH_RETRY=str(tries + 1))
-            os.execve(sys.executable, [sys.executable] + sys.argv, env)
-
-    if not _first_dispatch_watchdog():
-        _reexec()          # wedged first dispatch: a fresh process fixes it
-        # out of retries: every re-exec drew a wedged first dispatch —
-        # the tunnel itself is down, not the per-process lottery.  The
-        # caller must avoid in-process device work (it would hang
-        # forever) and fall back to subprocess-isolated measurements,
-        # which bail out via their own watchdogs.
-        return -2.0
-    g = _canary_gbps()
-    if jax.default_backend() == "cpu" or g >= _SLOW_MODE_GBPS:
-        return g
-    _reexec()
-    return g   # out of retries: report with the (bad) canary attached
 
 
 def build(level=1):
@@ -187,6 +171,40 @@ def build(level=1):
     # (baseline and device use the same dt, so vs_baseline is fair).
     dt = 2.5e-4 if level < 3 else 6.25e-5
     return prob, dt
+
+
+def _tree_nbytes(x):
+    import jax
+
+    if x is None:
+        return 0
+    try:
+        return sum(int(leaf.nbytes)
+                   for leaf in jax.tree_util.tree_leaves(x)
+                   if hasattr(leaf, "nbytes"))
+    except Exception:
+        return 0
+
+
+def _stream_bytes_per_step(slv, conv_nbytes, refine):
+    """HBM bytes streamed by ONE production w-space CNAB step: the
+    convection tail once, the banded diffusion matvec (Eblk) once, then
+    the saddle solve's banded factors per :meth:`_solve_core_perm`'s
+    application counts — W/Sinv/X each (1+refine) times, J (1+2*refine),
+    J^T and the exact banded F (refine) times.  State vectors are O(n)
+    and negligible next to the O(n*bandwidth) factors (<2%), so they
+    are left out; the estimate is therefore a slight UNDERcount and
+    ``pct_of_hbm_peak`` a lower bound."""
+    r = int(refine)
+    b = int(conv_nbytes)
+    b += _tree_nbytes(getattr(slv, "Eblk", None))
+    b += (1 + r) * _tree_nbytes(getattr(slv, "Wb", None))
+    b += (1 + r) * _tree_nbytes(getattr(slv, "Sinv", None))
+    b += (1 + r) * _tree_nbytes(getattr(slv, "Xb", None))
+    b += (1 + 2 * r) * _tree_nbytes(getattr(slv, "Jb", None))
+    b += r * _tree_nbytes(getattr(slv, "JTb", None))
+    b += r * _tree_nbytes(getattr(slv, "Bblk", None))
+    return b
 
 
 def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
@@ -301,6 +319,13 @@ def device_steps_per_sec(prob, dt, nsteps=1500, mode="accurate",
         use_bct = bct is not None
         if use_bct:
             bundle["bct"] = bct
+        # bytes-per-step bookkeeping for the HBM-utilization fields
+        # (read by _level_body); element-pipeline conv cost = its
+        # gather/coefficient tables
+        ops._bench_conv_nbytes = (int(bct.nbytes) if use_bct
+                                  else _tree_nbytes(kern))
+        ops._bench_split = split
+        ops._bench_use_w = use_w
 
         def step(b, carry, _):
             vf, nfc_o, gp = carry[0], carry[1], carry[2]
@@ -546,11 +571,33 @@ def baseline_loop(prob, dt, nsteps=60, v0=None, return_v=False):
     return nsteps / el
 
 
+# ---------------------------------------------------------------------
+# Subprocess bodies.  Each runs in a FRESH process (see module
+# docstring), guards itself with the first-dispatch watchdog + slow-
+# mode canary, and prints one JSON line for the parent to merge.
+# ---------------------------------------------------------------------
+
+def _guard():
+    """Common subprocess prologue: arm the compile cache, catch a
+    wedged first dispatch (bail in ~1 min: {"hang": true}) and the
+    per-process slow mode ({"slow_mode": true}) so the parent can retry
+    in a fresh process.  Returns the canary GB/s or the bail dict."""
+    _arm_cache()
+    import jax
+
+    if not _first_dispatch_watchdog():
+        return {"slow_mode": True, "hang": True}
+    g = _canary_gbps()
+    if jax.default_backend() != "cpu" and g < _SLOW_MODE_GBPS:
+        return {"slow_mode": True, "canary_gbps": round(g, 1)}
+    return g
+
+
 def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
                 warm_refine=1):
     """Level-N measurement: steps/s + splu-twin baseline + trajectory
-    rel_err vs the f64 splu oracle over ``oracle_steps`` from the Stokes
-    state (run inside the subprocess, see :func:`level_steps_per_sec`).
+    rel_err vs the f64 splu oracle over ``oracle_steps`` from the
+    Stokes state + HBM-utilization fields.
 
     ``warm_refine=1``: one short residual-correction round per step —
     the f32 Schur path's trajectory-error floor is the in-step solve
@@ -559,20 +606,9 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
     the SAME configuration that delivers the reported rel_err."""
     import numpy as np
 
-    _arm_cache()
-    import jax
-
-    if not _first_dispatch_watchdog():
-        # wedged first dispatch (see the watchdog docstring): bail fast
-        # so the parent retries in a fresh process instead of burning
-        # the full subprocess timeout
-        return {"slow_mode": True, "hang": True}
-    g = _canary_gbps()
-    if jax.default_backend() != "cpu" and g < _SLOW_MODE_GBPS:
-        # this subprocess drew the runtime's slow mode — tell the
-        # parent to retry in a fresh process (timings here would be
-        # ~60x off, docs/PERF_NOTES.md section 9)
-        return {"slow_mode": True, "canary_gbps": round(g, 1)}
+    g = _guard()
+    if isinstance(g, dict):
+        return g
     t0 = time.time()
     prob, dt = build(level=level)
     from dolfin_navier_scipy_tpu.solve.sadpnt import solve_sadpnt_host
@@ -592,8 +628,8 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
             linsolver="schur", layout="full", v0=v0, ops=ops,
             warm_refine=warm_refine)
     # unrefined twin: the solver-tolerance-floor fast configuration
-    # (same kernels,
-    # no per-step residual round) — costs exactly ~2x less
+    # (same kernels, no per-step residual round) — costs exactly ~2x
+    # less
     sps_fast = rel_fast = None
     if warm_refine:
         sps_fast, _, _ = device_steps_per_sec(
@@ -615,247 +651,210 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
            k + "_dofs": int(len(prob.invinds) + prob.np_cond),
            k + "_rel_err": rel, k + "_setup_s": setup_s,
            k + "_vs_baseline": round(sps_ / base, 2),
-           k + "_warm_refine": warm_refine}
+           k + "_warm_refine": warm_refine,
+           k + "_canary_gbps": round(g, 1)}
     if sps_fast is not None:
         out[k + "_fast"] = round(sps_fast, 2)
         out[k + "_fast_vs_baseline"] = round(sps_fast / base, 2)
         out[k + "_fast_rel_err"] = rel_fast
+    # HBM utilization: bytes streamed per step (banded block shapes) x
+    # measured steps/s vs the chip's peak — the falsifiable "is this
+    # fast" number (VERDICT r3).  Only defined for the production
+    # banded w-space path.
+    if getattr(ops, "_bench_use_w", False):
+        bps = _stream_bytes_per_step(ops.solver, ops._bench_conv_nbytes,
+                                     warm_refine)
+        out[k + "_bytes_per_step"] = int(bps)
+        out[k + "_hbm_gbps"] = round(bps * sps_ / 1e9, 1)
+        out[k + "_pct_of_hbm_peak"] = round(
+            100.0 * bps * sps_ / 1e9 / _HBM_PEAK_GBPS, 1)
+        if sps_fast is not None:
+            bps_f = _stream_bytes_per_step(ops.solver,
+                                           ops._bench_conv_nbytes, 0)
+            out[k + "_fast_hbm_gbps"] = round(bps_f * sps_fast / 1e9, 1)
+            out[k + "_fast_pct_of_hbm_peak"] = round(
+                100.0 * bps_f * sps_fast / 1e9 / _HBM_PEAK_GBPS, 1)
     return out
 
 
-def level_steps_per_sec(level, base_steps=20, oracle_steps=300,
-                        warm_refine=1):
-    """Level-N CNAB on the device via the block-Schur solver; isolated in
-    a subprocess because historic axon runtime faults at lvl2+ sizes
-    killed the worker (docs/ROADMAP.md)."""
-    import subprocess
-    import sys
+def _ensemble_body():
+    """Batched-trajectory throughput (parameter-sweep mode): aggregate
+    trajectory-steps/s for B vmapped members of one lvl1 scan."""
+    g = _guard()
+    if isinstance(g, dict):
+        return g
+    prob, dt = build(level=1)
+    from dolfin_navier_scipy_tpu.solve.sadpnt import solve_sadpnt_host
 
-    code = (f"import json, bench;"
-            f"print(json.dumps(bench._level_body({level},"
-            f" base_steps={base_steps}, oracle_steps={oracle_steps},"
-            f" warm_refine={warm_refine})))")
-    res = {f"l{level}": None}
-    for _attempt in range(3):
-        # each attempt is bounded by the subprocess timeout below; tell
-        # the stall monitor to stand down for that long
-        _phase(f"level{level}_attempt{_attempt}", grace_s=2500.0)
+    vp = solve_sadpnt_host(amat=prob.Mc + 0.5 * dt * prob.Ac,
+                           jmat=prob.Jc, jmatT=prob.JTc,
+                           rhsv=np.asarray(prob.fv).ravel(),
+                           rhsp=np.asarray(prob.fp).ravel())
+    v0 = vp[: len(prob.invinds), 0]
+    ens = {"canary_gbps": round(g, 1)}
+    for B in (16, 64, 128):
         try:
-            out = subprocess.run(
-                [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=2400,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = out.stdout.strip().splitlines()[-1]
-            res = json.loads(line)
-        except Exception:
+            agg = ensemble_traj_steps_per_sec(prob, dt, v0, B=B)
+            ens[f"B{B}_traj_steps_per_sec"] = round(agg, 1)
+        except Exception as e:     # never let one B kill the sweep
+            ens[f"B{B}_error"] = repr(e)[:120]
+    return ens
+
+
+def _appus_body():
+    """Session-quality normalizer (see measure_app_us)."""
+    g = _guard()
+    if isinstance(g, dict):
+        return g
+    prob, dt = build(level=1)
+    return {"session_app_us_lvl1": round(measure_app_us(prob, dt), 1)}
+
+
+_BODIES = {
+    "level1": "_level_body(1)",
+    "level2": "_level_body(2)",
+    "level3": "_level_body(3, base_steps=12)",
+    "ensemble": "_ensemble_body()",
+    "app_us": "_appus_body()",
+}
+
+
+# ---------------------------------------------------------------------
+# Parent orchestrator: device-free, deadline-driven, emits after every
+# milestone.
+# ---------------------------------------------------------------------
+
+_T0 = time.time()
+_DEADLINE_S = float(os.environ.get("DNS_TPU_BENCH_DEADLINE_S", "1500"))
+
+_RESULTS = {"metric": "cnab_steps_per_sec_cylwake2d", "value": 0.0,
+            "unit": "steps/s", "vs_baseline": 0.0, "status": "starting"}
+
+
+def _emit():
+    """Print the CURRENT result dict as one JSON line.  Called after
+    every milestone; the driver parses the LAST line, so re-emission
+    only ever improves what gets recorded."""
+    print(json.dumps(_RESULTS), flush=True)
+
+
+def _remaining():
+    return _DEADLINE_S - (time.time() - _T0)
+
+
+def _run_subprocess(name, timeout_s):
+    """Run one measurement body in a fresh subprocess; return its JSON
+    dict, or {"hang": true} on timeout/garbage (a wedged subprocess
+    usually bails itself via the watchdog before this timeout)."""
+    import subprocess
+
+    code = (f"import json, bench; "
+            f"print(json.dumps(bench.{_BODIES[name]}))")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {"slow_mode": True, "hang": True, "timeout": True}
+    for line in reversed(out.stdout.strip().splitlines() or [""]):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, TypeError):
             continue
+    return {"slow_mode": True, "hang": True,
+            "stderr_tail": (out.stderr or "")[-200:]}
+
+
+def _measure(name, cap_s, attempts=2, reserve_s=60.0):
+    """Run ``name``'s body with retries (fresh process per attempt —
+    the slow mode and the wedged first dispatch are per-process
+    lotteries).  Deadline-aware: each attempt's timeout fits in the
+    remaining budget; skipped entirely when too little remains."""
+    res = None
+    for _ in range(attempts):
+        rem = _remaining() - reserve_s
+        if rem < 140.0:
+            return res if res is not None else {"skipped_deadline": True}
+        res = _run_subprocess(name, timeout_s=min(cap_s, rem))
         if not res.get("slow_mode"):
             return res
     return res
 
 
-# Progressive result accumulation: main() fills this dict milestone by
-# milestone so that the deadline thread (or the degraded wedged-tunnel
-# path) can emit whatever has been measured instead of nothing.  The
-# driver parses the LAST JSON line of stdout — emitting exactly once is
-# enforced by the flag.
-_RESULTS = {"metric": "cnab_steps_per_sec_cylwake2d", "value": None,
-            "unit": "steps/s", "vs_baseline": None}
-_EMITTED = False
-
-
-def _emit(partial=False):
-    global _EMITTED
-    if _EMITTED:
-        return
-    _EMITTED = True
-    if partial:
-        _RESULTS["partial"] = True
-    print(json.dumps(_RESULTS), flush=True)
-
-
-def _start_deadline_thread():
-    """Bound the whole bench: a mid-run tunnel death wedges a dispatch
-    with no error and no CPU (docs/PERF_NOTES.md section 13), which
-    would otherwise hang past the driver's timeout and lose every
-    number already measured.  After DNS_TPU_BENCH_DEADLINE_S (default
-    7000 s) the thread emits the partial JSON and hard-exits."""
+def _start_deadline_backstop():
+    """Last line of defense: per-milestone timeouts are sized to end
+    before the deadline, but if the parent itself wedges (it should
+    never touch the device), emit what exists and exit."""
     import threading
 
-    deadline = float(os.environ.get("DNS_TPU_BENCH_DEADLINE_S", "7000"))
-
     def watch():
-        time.sleep(deadline)
-        _emit(partial=True)
+        time.sleep(max(5.0, _DEADLINE_S - (time.time() - _T0)))
+        _RESULTS["status"] = "deadline_backstop"
+        _emit()
         os._exit(0)
 
     threading.Thread(target=watch, daemon=True).start()
 
 
-# Phase-aware stall watchdog: the global deadline above is the last
-# line of defense, but a mid-run wedge (observed: zero CPU for 15+ min
-# right after the canary, socket idle) should not cost the full 7000 s.
-# main() stamps a heartbeat before each phase with a grace period sized
-# to that phase; the monitor trips when a phase overruns its grace.
-_HEARTBEAT = {"t": time.time(), "grace": 1e18, "label": "start"}
+def main():
+    _emit()                      # t=0: the artifact can never be empty
+    _start_deadline_backstop()
+    hangs = 0
 
+    def note_hang(res):
+        nonlocal hangs
+        if res.get("hang"):
+            hangs += 1
+            if hangs >= 2:
+                _RESULTS["wedged"] = True
+        else:
+            hangs = 0
 
-def _phase(label, grace_s=900.0):
-    _HEARTBEAT.update(t=time.time(), grace=float(grace_s), label=label)
-
-
-def _start_stall_thread():
-    """On a phase overrun: if nothing has been measured yet, re-exec
-    the bench (a fresh process un-wedges the tunnel in practice, and
-    the compile cache makes the retry cheap); otherwise emit the
-    partial JSON and exit, preserving what was measured."""
-    import sys
-    import threading
-
-    def watch():
-        while True:
-            time.sleep(20)
-            if time.time() - _HEARTBEAT["t"] <= _HEARTBEAT["grace"]:
-                continue
-            tries = int(os.environ.get("DNS_TPU_BENCH_STALL_RETRY", "0"))
-            if _RESULTS.get("value") is None and tries < 2:
-                env = dict(os.environ,
-                           DNS_TPU_BENCH_STALL_RETRY=str(tries + 1))
-                os.execve(sys.executable,
-                          [sys.executable] + sys.argv, env)
-            _RESULTS["stalled_at"] = _HEARTBEAT["label"]
-            _emit(partial=True)
-            os._exit(0)
-
-    threading.Thread(target=watch, daemon=True).start()
-
-
-def _degraded_main():
-    """Tunnel-down fallback: the parent process's first dispatch wedged
-    through every re-exec retry, so NOTHING can run on the device in
-    this process.  Levels still run in fresh subprocesses (each bails
-    out via its own first-dispatch watchdog if the tunnel stays down);
-    lvl1 fills the headline fields from its subprocess twin."""
-    _RESULTS["degraded"] = "wedged parent process; subprocess-only"
-    l1 = level_steps_per_sec(1)
-    if l1.get("l1"):
-        _RESULTS.update(value=l1["l1"], vs_baseline=l1["l1_vs_baseline"],
-                        accurate_rel_err_300_steps=l1.get("l1_rel_err"),
-                        dofs=l1.get("l1_dofs"),
-                        setup_s=l1.get("l1_setup_s"))
+    # Milestones in decreasing order of value; each merges + re-emits
+    # immediately so a kill at any point preserves everything before it.
+    l1 = _measure("level1", cap_s=460)
+    note_hang(l1)
     _RESULTS["level1"] = l1
-    _RESULTS["level2"] = level_steps_per_sec(2)
-    _RESULTS["level3"] = level_steps_per_sec(3, base_steps=12,
-                                             oracle_steps=300)
+    if l1.get("l1"):
+        _RESULTS.update(
+            value=l1["l1"], vs_baseline=l1["l1_vs_baseline"],
+            dofs=l1.get("l1_dofs"), setup_s=l1.get("l1_setup_s"),
+            accurate_rel_err_300_steps=l1.get("l1_rel_err"),
+            baseline_scipy_splu=l1.get("l1_base"),
+            fast_mode_steps_per_sec=l1.get("l1_fast"),
+            fast_rel_err_300_steps=l1.get("l1_fast_rel_err"),
+            canary_gbps=l1.get("l1_canary_gbps"),
+            hbm_gbps=l1.get("l1_hbm_gbps"),
+            pct_of_hbm_peak=l1.get("l1_pct_of_hbm_peak"))
+    _RESULTS["status"] = "level1_done"
     _emit()
 
+    for name, cap in (("level2", 440), ("level3", 460)):
+        if _RESULTS.get("wedged"):
+            cap = 130            # one cheap look in case it recovered
+        res = _measure(name, cap_s=cap,
+                       attempts=1 if _RESULTS.get("wedged") else 2)
+        note_hang(res)
+        _RESULTS[name] = res
+        _RESULTS["status"] = f"{name}_done"
+        _emit()
 
-def main():
-    _arm_cache()
-    _start_deadline_thread()
-    _start_stall_thread()
-    _phase("canary", grace_s=600.0)
-    canary = _ensure_fast_process()
-    if canary == -2.0:
-        _degraded_main()
-        return
-    t0 = time.time()
-    _phase("build")
-    prob, dt = build()
-    from dolfin_navier_scipy_tpu.solve.timeint import _build_ops
+    if not _RESULTS.get("wedged"):
+        res = _measure("ensemble", cap_s=420, attempts=2)
+        note_hang(res)
+        _RESULTS["ensemble"] = res
+        _RESULTS["status"] = "ensemble_done"
+        _emit()
 
-    # linsolver='auto' resolves to the banded block-Schur solver at
-    # lvl1's 8.4k dofs (measured faster than the dense-inverse path at
-    # BOTH refine settings: 1559/1208 vs 922 steps/s); the full layout
-    # is the production scan layout
-    ops = _build_ops(prob, dt, theta=0.5, precision="accurate",
-                     linsolver="auto", layout="full")
-    setup_s = round(time.time() - t0, 1)           # build + factorization
-    # all runs start from the Stokes state (as solve_nse does via
-    # start_ssstokes); an impulsive zero start imprints the solver
-    # tolerance on the first O(1)-sized increment
-    from dolfin_navier_scipy_tpu.solve import solve_nse
+        res = _measure("app_us", cap_s=300, attempts=1)
+        if res.get("session_app_us_lvl1") is not None:
+            _RESULTS["session_app_us_lvl1"] = res["session_app_us_lvl1"]
+        _RESULTS["status"] = "app_us_done"
+        _emit()
 
-    _phase("stokes_init")
-    v0 = np.asarray(solve_nse(prob=prob, t0=0.0, tE=dt, Nts=1,
-                              start_ssstokes=True, save_every=None,
-                              linsolver="schur")["iniv"])
-    t0 = time.time()
-    # accurate = banded + one warm-refine round (rel_err 4.3e-8 at
-    # lvl1); fast = the same solver unrefined (2.5e-7).  Grace covers a
-    # cache-cold remote compile (~180 s) with a wide margin.
-    _phase("accurate_steps", grace_s=1200.0)
-    dev, v_acc, ops = device_steps_per_sec(prob, dt, mode="accurate",
-                                           v0=v0, ops=ops, warm_refine=1)
-    first_run_s = round(time.time() - t0, 1)       # compile + first scan
-    _RESULTS.update(value=round(dev, 2),
-                    accurate_mode_steps_per_sec=round(dev, 2),
-                    dofs=int(len(prob.invinds) + prob.np_cond),
-                    setup_s=setup_s, first_run_s=first_run_s,
-                    canary_gbps=round(canary, 1))
-    _phase("fast_steps", grace_s=1200.0)
-    dev_fast, v_fast, _ = device_steps_per_sec(prob, dt, mode="fast",
-                                               v0=v0, ops=ops)
-    # trajectory accuracy vs the f64 splu oracle over 300 steps
-    _, _, _ = dev, dev_fast, v_fast
-    _phase("oracle_300")
-    _, v64 = baseline_loop(prob, dt, nsteps=300, v0=v0, return_v=True)
-    _phase("accurate_300")
-    _, v_dev, _ = device_steps_per_sec(prob, dt, nsteps=300,
-                                       mode="accurate", v0=v0, ops=ops,
-                                       warm_refine=1)
-    rel = float(np.linalg.norm(v_dev - v64) / np.linalg.norm(v64))
-    _RESULTS["accurate_rel_err_300_steps"] = rel
-    _phase("fast_300")
-    _, v_devf, _ = device_steps_per_sec(prob, dt, nsteps=300,
-                                        mode="fast", v0=v0, ops=ops)
-    rel_fast = float(np.linalg.norm(v_devf - v64) / np.linalg.norm(v64))
-    # the single-core host baseline jitters ~15% run-to-run; median of 3
-    _phase("splu_baseline")
-    base = float(np.median([baseline_loop(prob, dt, nsteps=100, v0=v0)
-                            for _ in range(3)]))
-    _RESULTS.update(vs_baseline=round(dev / base, 2),
-                    baseline_scipy_splu=round(base, 2),
-                    accurate_vs_baseline=round(dev / base, 2),
-                    fast_mode_steps_per_sec=round(dev_fast, 2),
-                    fast_rel_err_300_steps=rel_fast)
-    # session-quality normalizer: per-application in-scan cost (the
-    # tunneled TPU's windows differ by multiples run-to-run; steps/s
-    # is only comparable across sessions via this number)
-    _phase("app_us")
-    app_us = measure_app_us(prob, dt)
-    _RESULTS["session_app_us_lvl1"] = round(app_us, 1)
-    # batched-trajectory throughput (parameter-sweep mode): aggregate
-    # trajectory-steps/s for B vmapped members of one scan
-    ens = {}
-    for B in (16, 64, 128):
-        try:
-            _phase(f"ensemble_B{B}", grace_s=1200.0)
-            agg = ensemble_traj_steps_per_sec(prob, dt, v0, B=B)
-            ens[f"B{B}_traj_steps_per_sec"] = round(agg, 1)
-            ens[f"B{B}_vs_serial_device"] = round(agg / dev, 2)
-            ens[f"B{B}_vs_baseline"] = round(agg / base, 1)
-        except Exception as e:   # never let the sweep kill the bench
-            ens[f"B{B}_error"] = repr(e)[:120]
-    try:
-        # dense-inverse comparison point (the pre-round-3 ensemble path)
-        _phase("ensemble_B64_dense", grace_s=1200.0)
-        ens["B64_dense_traj_steps_per_sec"] = round(
-            ensemble_traj_steps_per_sec(prob, dt, v0, B=64,
-                                        scan="dense"), 1)
-    except Exception as e:
-        ens["B64_dense_error"] = repr(e)[:120]
-    _RESULTS["ensemble"] = ens
-    l2 = level_steps_per_sec(2)
-    _RESULTS["level2"] = l2
-    # lvl3 floors at ~3e-6 trajectory error regardless of refinement
-    # (refine=1: 3.8e-6 at 36.95 steps/s; refine=2: 2.7e-6 at 26.2 —
-    # one round contracts the 4e-3 unrefined solve floor by ~1e-3,
-    # the second buys almost nothing): the residual is the f32 KERNEL
-    # floor of the 113k-dof mesh, not solve tolerance.  refine=1 is
-    # therefore the honest headline config at lvl3.
-    l3 = level_steps_per_sec(3, base_steps=12, oracle_steps=300)
-    _RESULTS["level3"] = l3
+    _RESULTS["status"] = "complete"
+    _RESULTS["elapsed_s"] = round(time.time() - _T0, 1)
     _emit()
 
 
