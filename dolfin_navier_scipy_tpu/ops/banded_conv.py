@@ -57,6 +57,60 @@ from ..solve.sadpnt import _build_banded_rect, _rect_mv
 
 _LANE = 128
 
+# ---------------------------------------------------------------------------
+# Shared banded-vs-index cost model — the ONE definition used by every
+# gate (this module, solve/sadpnt.py's banded-F auto gate and
+# parallel/halo.py's per-shard tail gate; ADVICE r3: the constants were
+# duplicated verbatim and could silently diverge).
+#
+# * ``STREAM_FLOOR_BPS``: the HBM rate the banded static-window matmuls
+#   sustain in a healthy process (measured ~600 GB/s on the v5e slope
+#   canary, docs/PERF_NOTES.md section 8).
+# * ``INDEX_US_PER_1K_VALS``: in-scan cost of the gather/segment_sum
+#   element pipeline per 1k element VALUES (nvals = nc * nd) — the
+#   quantity the pipeline actually scales with (per-dof proxies
+#   mispredict on element-heavy shards: 3D, higher order; ADVICE r3).
+#   Calibrated to reproduce the historical per-dof model (46 us per 1k
+#   inner dofs, docs/PERF_NOTES.md section 8/10) at the 2D-P2
+#   calibration meshes: lvl1 nin=6994 / nvals=22104, lvl2 nin=25966 /
+#   nvals=80136 -> nvals/nin = 3.16 -> 46/3.16 = 14.6 us per 1k vals.
+# * ``VALS_PER_DOF_2D``: the measured 2D-P2 nvals/nin ratio, used to
+#   translate dof counts when a caller only knows those (sadpnt's
+#   SchurSaddleSolver built from bare matrices).
+# * ``BANDED_WIN_MARGIN``: banded must win by 20% predicted before the
+#   gate flips (misprediction near the crossover is cheap either way).
+# ---------------------------------------------------------------------------
+VALS_PER_DOF_2D = 3.16
+STREAM_FLOOR_BPS = float(os.environ.get(
+    "DNS_TPU_STREAM_FLOOR_GBPS", "600")) * 1e9
+INDEX_US_PER_1K_VALS = float(os.environ.get(
+    "DNS_TPU_INDEX_US_PER_1K_VALS", str(46.0 / VALS_PER_DOF_2D)))
+BANDED_WIN_MARGIN = float(os.environ.get(
+    "DNS_TPU_BANDED_WIN_MARGIN", "0.8"))
+
+
+def banded_stream_us(nbytes):
+    """Predicted per-application cost of streaming ``nbytes`` of banded
+    blocks at the healthy-process HBM floor."""
+    return nbytes / STREAM_FLOOR_BPS * 1e6
+
+
+def index_pipeline_us(nvals=None, ndofs=None):
+    """Predicted per-application cost of the index (gather/segment_sum)
+    element pipeline; prefer ``nvals`` (element values, the true
+    scaling variable), fall back to a 2D-P2 dof-based estimate."""
+    if nvals is None:
+        nvals = ndofs * VALS_PER_DOF_2D
+    return INDEX_US_PER_1K_VALS * nvals / 1000.0
+
+
+def banded_wins(nbytes, nvals=None, ndofs=None):
+    """True when the banded stream is predicted to beat the index
+    pipeline with margin."""
+    return (banded_stream_us(nbytes)
+            <= BANDED_WIN_MARGIN * index_pipeline_us(nvals=nvals,
+                                                     ndofs=ndofs))
+
 
 @jax.tree_util.register_pytree_node_class
 class BandedConvTail:
@@ -169,12 +223,10 @@ def build_banded_conv_tail(kern, nin, bc_tail, bs=256, max_gb=None,
                  + _window_bytes(cols[keep], rows[keep], nblk_g, bs))
     if max_gb is None:
         max_gb = float(os.environ.get("DNS_TPU_BANDED_CONV_MAXGB", "1.0"))
-    # cost model (docs/PERF_NOTES.md section 8): banded ~ bytes at the
-    # ~600 GB/s HBM floor; index pipeline ~ measured 46 us per 1k
-    # interior dofs (405 us at lvl1's 8.5k).  Require a predicted win.
-    banded_us = by / 600e9 * 1e6
-    index_us = 46.0 * nin / 1000.0
-    if not force and (by > max_gb * 1e9 or banded_us > 0.8 * index_us):
+    # shared cost model (module head): banded ~ bytes at the HBM floor
+    # vs the index pipeline's per-element-value cost.  Require a
+    # predicted win.
+    if not force and (by > max_gb * 1e9 or not banded_wins(by, nvals=nvals)):
         return None
 
     ones = np.ones(int(keep.sum()), np.float32)

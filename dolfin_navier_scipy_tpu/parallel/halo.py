@@ -511,7 +511,12 @@ class HaloConvKernel:
         # per shard): interior couplings then fit a static column
         # window.  Consistent permutation of the dof tables and the
         # element-data slices — harmless for the index pipeline,
-        # prerequisite for the banded tail below.
+        # prerequisite for the banded tail below.  Applied even when
+        # the tail gate later declines (the gate needs the sorted
+        # windows to predict its cost): this changes the segment_sum
+        # summation ORDER, i.e. bit-level results differ from unsorted
+        # builds by roundoff only — an intentional, documented
+        # reproducibility trade (ADVICE r3).
         emsk = vloc < win_v
         mpos = (np.where(emsk, vloc, 0).sum(2)
                 / np.maximum(emsk.sum(2), 1)).astype(np.float64)
@@ -622,12 +627,15 @@ class HaloConvKernel:
              for d in range(ndev)], win_v)
 
         if banded is not True:
+            from ..ops.banded_conv import banded_wins
+
             by = (nblk_s * bs * wS + nblk_g * bs * wG) * bdtype.itemsize
             max_gb = float(os.environ.get("DNS_TPU_BANDED_CONV_MAXGB",
                                           "1.0"))
-            banded_us = by / 600e9 * 1e6
-            index_us = 46.0 * win_v / 1000.0
-            if by > max_gb * 1e9 or banded_us > 0.8 * index_us:
+            # shared cost model (ops/banded_conv.py module head); the
+            # pipeline being replaced scales with the PER-SHARD element
+            # values nvals = nc_loc * nd, not window dofs (ADVICE r3)
+            if by > max_gb * 1e9 or not banded_wins(by, nvals=nvals):
                 return
 
         Sb = np.zeros((ndev, nblk_s, bs, wS), bdtype)

@@ -1018,7 +1018,8 @@ class SchurSaddleSolver:
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
                  full_map=None, setup="auto", banded="auto",
-                 band_extra=None, _leaves=None, _aux=None):
+                 band_extra=None, index_nvals=None, _leaves=None,
+                 _aux=None):
         """``full_map=(invinds, nv_full)`` builds the solver over the
         FULL velocity dof set (the fast state layout): X rows and the
         Jacobi diagonal are zero-padded onto the bc dofs — the zero
@@ -1094,18 +1095,29 @@ class SchurSaddleSolver:
                 # element).  Gate on BOTH: the absolute cap and the
                 # stream-vs-element cost model (docs/PERF_NOTES.md
                 # section 8, same form as the banded-conv-tail gate).
+                from ..ops.banded_conv import (
+                    banded_stream_us, banded_wins, index_pipeline_us,
+                )
+
                 cap = float(_os.environ.get("DNS_TPU_BANDED_MAXGB", "3"))
                 est = _banded_bandwidth_gb(F)
-                band_us = est * 1e9 / 600e9 * 1e6
-                elem_us = 46.0 * F.shape[0] / 1000.0
-                if est > cap or band_us > 0.8 * elem_us:
+                # shared cost model (ops/banded_conv.py module head);
+                # ``index_nvals`` (nc*nd, from callers that know the
+                # element tables) is the true scaling variable of the
+                # element pipeline — the dof-count fallback assumes the
+                # 2D-P2 vals/dof ratio
+                if est > cap or not banded_wins(
+                        est * 1e9, nvals=index_nvals,
+                        ndofs=F.shape[0]):
                     import logging
 
                     logging.getLogger(__name__).info(
                         "banded F band %.2f GB (~%.0f us/apply) vs cap "
                         "%.1f GB / element ~%.0f us; using the "
-                        "element-pipeline Schur path", est, band_us,
-                        cap, elem_us)
+                        "element-pipeline Schur path", est,
+                        banded_stream_us(est * 1e9), cap,
+                        index_pipeline_us(nvals=index_nvals,
+                                          ndofs=F.shape[0]))
                     banded = False
         perm = pp = None
         if banded:

@@ -178,7 +178,8 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                 res_ops=(fop, afful.view("j")),
                 dtype=work_dtype,
                 full_map=(prob.invinds, prob.nv_full),
-                band_extra=prob.Ac)
+                band_extra=prob.Ac,
+                index_nvals=int(np.prod(vd.shape)))
             ops = TimeIntOps(solver=solver, M=afful.view("m"),
                              A=afful.view("a"), dt=dt, theta=theta,
                              wdtype=work_dtype)
@@ -195,8 +196,10 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
             Mop = ell_from_scipy_fast(prob.Mc, dtype=work_dtype)
             Aop = ell_from_scipy_fast(prob.Ac, dtype=work_dtype)
             Eop = None
+        nvc = prob.space.vdofs_of_cells()
         solver = SchurSaddleSolver(coeff, prob.Jc, prob.JTc,
-                                   res_ops=res_ops, dtype=work_dtype)
+                                   res_ops=res_ops, dtype=work_dtype,
+                                   index_nvals=int(np.prod(nvc.shape)))
         return TimeIntOps(solver=solver, M=Mop, A=Aop, E=Eop,
                           dt=dt, theta=theta, wdtype=work_dtype)
 
