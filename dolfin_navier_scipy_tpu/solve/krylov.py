@@ -105,3 +105,59 @@ def device_pgmres(matvec, b, precond, x0=None, tol=1e-12, restart=20,
         tol=tol, atol=0.0, restart=restart, maxiter=maxiter,
         solve_method="batched")
     return x
+
+
+def device_fgmres(matvec, precond, b, restart=30, cycles=3):
+    """Jittable FLEXIBLE GMRES (FGMRES, right-preconditioned).
+
+    The preconditioner may be a NONLINEAR map — e.g. an inner Jacobi-PCG
+    velocity solve, whose effective operator depends on its input.
+    Plain GMRES (jax.scipy.sparse.linalg.gmres) assumes a FIXED
+    preconditioning operator; feeding it a PCG-based preconditioner
+    silently breaks the Arnoldi recurrence (measured on the steady
+    saddle: residual stalls at ~0.2 of the rhs regardless of iteration
+    count).  FGMRES stores the preconditioned basis ``Z_j = M(v_j)``
+    explicitly and forms the update from it, which is exactly the
+    classical fix (Saad 1993).
+
+    jit/scan-safe: static restart length and cycle count, masked
+    classical Gram-Schmidt inside a ``fori_loop`` (the column index is
+    dynamic, so orthogonalization uses a full (m+1)-row product with an
+    index mask).  Memory: ``(2 m + 1) n`` work vectors.
+
+    Returns the approximate solution of ``matvec(x) = b`` from ``x0=0``.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    m = int(restart)
+    n = b.shape[0]
+    dt_ = b.dtype
+    tiny = jnp.asarray(1e-30, dt_)
+    iota = jnp.arange(m + 1)
+
+    def cycle(x, _):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dt_).at[0].set(r / (beta + tiny))
+        Z = jnp.zeros((m, n), dt_)
+        H = jnp.zeros((m + 1, m), dt_)
+
+        def arnoldi(j, st):
+            V, Z, H = st
+            z = precond(V[j])
+            w = matvec(z)
+            h = jnp.where(iota <= j, V @ w, 0.0)
+            w = w - h @ V
+            nw = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / (nw + tiny))
+            H = H.at[:, j].set(h + nw * (iota == j + 1))
+            return V, Z.at[j].set(z), H
+
+        V, Z, H = lax.fori_loop(0, m, arnoldi, (V, Z, H))
+        e1 = jnp.zeros((m + 1,), dt_).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        return x + y @ Z, None
+
+    x, _ = lax.scan(cycle, jnp.zeros_like(b), None, length=int(cycles))
+    return x

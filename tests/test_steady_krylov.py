@@ -1,0 +1,95 @@
+"""Device-native steady solve at any mesh size (solve/steady.py
+``linsolver='krylov'``, VERDICT r3 missing #2).
+
+The reference's steady path runs at every mesh size on scipy splu
+(stokes_navier_utils.py:212-545); past the ~25k-row device-LU ceiling
+this repo's answer is matrix-free f32 GMRES with the banded-Stokes
+block-triangular preconditioner inside f64 iterative refinement.
+These tests pin the krylov path against the host-splu twin at
+small sizes (bit-for-bit is not expected — both converge the SAME
+Newton iteration to tight update tolerances, so the fixed points agree
+to the Newton tolerance).
+"""
+
+import numpy as np
+import pytest
+
+from dolfin_navier_scipy_tpu.models import (
+    cylinderwake_problem,
+    drivencavity_problem,
+)
+from dolfin_navier_scipy_tpu.solve import solve_steadystate_nse
+
+
+@pytest.fixture(scope="module")
+def prob_cyl0():
+    return cylinderwake_problem(level=0, Re=40, charvel=0.2)
+
+
+def _steady(prob, linsolver, **kw):
+    (v, p), norms = solve_steadystate_nse(
+        prob, return_vp=True, return_nwtnupd_norms=True, verbose=False,
+        vel_pcrd_stps=2, vel_nwtn_stps=8, vel_nwtn_tol=1e-12,
+        linsolver=linsolver, **kw)
+    return np.asarray(v).ravel(), np.asarray(p).ravel(), norms
+
+
+def test_krylov_stokes_matches_host(prob_cyl0):
+    vk, pk, _ = _steady(prob_cyl0, "krylov", only_stokes=True)
+    vh, ph, _ = _steady(prob_cyl0, "host-sparse", only_stokes=True)
+    assert np.linalg.norm(vk - vh) / np.linalg.norm(vh) < 1e-10
+    assert np.linalg.norm(pk - ph) / np.linalg.norm(ph) < 1e-8
+
+
+def test_krylov_newton_matches_host_cylwake(prob_cyl0):
+    """Full Stokes -> Picard -> Newton on the cylinder wake: the
+    krylov fixed point equals the host-splu fixed point to (beyond)
+    the 1e-12 Newton update tolerance."""
+    vk, pk, nk = _steady(prob_cyl0, "krylov")
+    vh, ph, _ = _steady(prob_cyl0, "host-sparse")
+    assert nk and nk[-1] < 1e-12
+    assert np.linalg.norm(vk - vh) / np.linalg.norm(vh) < 1e-10, (
+        np.linalg.norm(vk - vh) / np.linalg.norm(vh))
+    assert np.linalg.norm(pk - ph) / np.linalg.norm(ph) < 1e-8
+
+
+def test_krylov_newton_matches_host_cavity():
+    """Enclosed flow (pinned pressure): the Mp-diag Schur
+    preconditioner handles the driven cavity too."""
+    prob = drivencavity_problem(N=16, nu=5e-3)
+    vk, pk, nk = _steady(prob, "krylov")
+    vh, ph, _ = _steady(prob, "host-sparse")
+    assert nk and nk[-1] < 1e-12
+    assert np.linalg.norm(vk - vh) / np.linalg.norm(vh) < 1e-10
+    assert np.linalg.norm(pk - ph) / np.linalg.norm(ph) < 1e-8
+
+
+def test_auto_prefers_device_krylov_past_ceiling(monkeypatch):
+    """'auto' must resolve to the device krylov path past the dense
+    ceiling on an accelerator (the r3 host-splu fallback is now an
+    explicit opt-in); on CPU the host twin keeps a mid-size window."""
+    from dolfin_navier_scipy_tpu.solve import steady as st
+
+    calls = {}
+
+    def fake_krylov(prob, *a, **k):
+        calls["krylov"] = True
+        nin = len(prob.invinds)
+        return (np.zeros(prob.nv_full), np.zeros(prob.np_cond), [0.0])
+
+    monkeypatch.setattr(st, "_krylov_steady", fake_krylov)
+
+    class _P:
+        pass
+
+    # fabricate the size probe: 120k dofs on a fake accelerator
+    prob = cylinderwake_problem(level=0, Re=40, charvel=0.2)
+    monkeypatch.setattr(
+        st.jax, "default_backend", lambda: "tpu", raising=False)
+    big_inv = np.arange(120000)
+    monkeypatch.setattr(
+        type(prob), "np_cond",
+        property(lambda self: 20000), raising=False)
+    object.__setattr__(prob, "invinds", big_inv)
+    solve_steadystate_nse(prob, linsolver="auto", verbose=False)
+    assert calls.get("krylov")
