@@ -677,6 +677,61 @@ def _level_body(level, nsteps=300, base_steps=20, oracle_steps=300,
     return out
 
 
+def _level3d_body(nz=4, nsteps=150, base_steps=6, oracle_steps=60):
+    """3D bench row (VERDICT r3 missing #3): CNAB on the extruded 3D-1Z
+    cylinder wake (level 0, ``nz`` layers, 24.5k dofs at nz=4) through
+    the same production Schur scan.  The splu baseline twin collapses
+    in 3D (fill-in: measured 0.4 steps/s vs 114 device = ~276x), so
+    ``oracle_steps`` is kept short — the rel_err is still a 60-step
+    trajectory comparison against f64 splu."""
+    import numpy as np
+
+    g = _guard()
+    if isinstance(g, dict):
+        return g
+    t0 = time.time()
+    from dolfin_navier_scipy_tpu.models.cylinderwake3d import (
+        cylinderwake3d_problem,
+    )
+
+    prob = cylinderwake3d_problem(level=0, nz=nz, nu=1e-3, charvel=0.2,
+                                  paraboloid_inflow=True, zslip=False,
+                                  length=2.5, center=(0.5, 0.2))
+    dt = 2.5e-4
+    from dolfin_navier_scipy_tpu.solve.sadpnt import solve_sadpnt_host
+
+    vp = solve_sadpnt_host(amat=prob.Mc + 0.5 * dt * prob.Ac,
+                           jmat=prob.Jc, jmatT=prob.JTc,
+                           rhsv=np.asarray(prob.fv).ravel(),
+                           rhsp=np.asarray(prob.fp).ravel())
+    v0 = vp[: len(prob.invinds), 0]
+    sps_, _, ops = device_steps_per_sec(
+        prob, dt, nsteps=nsteps, mode="accurate", linsolver="schur",
+        layout="full", v0=v0, warm_refine=1)
+    setup_s = round(time.time() - t0, 1)
+    _, v_dev, _ = device_steps_per_sec(
+        prob, dt, nsteps=oracle_steps, mode="accurate",
+        linsolver="schur", layout="full", v0=v0, ops=ops,
+        warm_refine=1)
+    _, v64 = baseline_loop(prob, dt, nsteps=oracle_steps, v0=v0,
+                           return_v=True)
+    rel = float(np.linalg.norm(v_dev - v64) / np.linalg.norm(v64))
+    base = baseline_loop(prob, dt, nsteps=base_steps, v0=v0)
+    out = {"l3d": round(sps_, 2), "l3d_base": round(base, 2),
+           "l3d_dofs": int(len(prob.invinds) + prob.np_cond),
+           "l3d_nz": nz, "l3d_rel_err": rel, "l3d_setup_s": setup_s,
+           "l3d_vs_baseline": round(sps_ / base, 2),
+           "l3d_canary_gbps": round(g, 1)}
+    if getattr(ops, "_bench_use_w", False):
+        bps = _stream_bytes_per_step(ops.solver, ops._bench_conv_nbytes,
+                                     1)
+        out["l3d_bytes_per_step"] = int(bps)
+        out["l3d_hbm_gbps"] = round(bps * sps_ / 1e9, 1)
+        out["l3d_pct_of_hbm_peak"] = round(
+            100.0 * bps * sps_ / 1e9 / _HBM_PEAK_GBPS, 1)
+    return out
+
+
 def _ensemble_body():
     """Batched-trajectory throughput (parameter-sweep mode): aggregate
     trajectory-steps/s for B vmapped members of one lvl1 scan."""
@@ -714,6 +769,7 @@ _BODIES = {
     "level1": "_level_body(1)",
     "level2": "_level_body(2)",
     "level3": "_level_body(3, base_steps=12)",
+    "level3d": "_level3d_body()",
     "ensemble": "_ensemble_body()",
     "app_us": "_appus_body()",
 }
@@ -830,11 +886,11 @@ def main():
     _RESULTS["status"] = "level1_done"
     _emit()
 
-    for name, cap in (("level2", 440), ("level3", 460)):
+    for name, cap, att in (("level2", 440, 2), ("level3", 460, 2),
+                           ("level3d", 540, 1)):
         if _RESULTS.get("wedged"):
-            cap = 130            # one cheap look in case it recovered
-        res = _measure(name, cap_s=cap,
-                       attempts=1 if _RESULTS.get("wedged") else 2)
+            cap, att = 130, 1    # one cheap look in case it recovered
+        res = _measure(name, cap_s=cap, attempts=att)
         note_hang(res)
         _RESULTS[name] = res
         _RESULTS["status"] = f"{name}_done"

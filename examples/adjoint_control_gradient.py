@@ -31,7 +31,11 @@ def main():
                     help="gradient-descent iterations")
     ap.add_argument("--dt", type=float, default=2.5e-4)
     ap.add_argument("--level", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: 4 steps, 2 iterations")
     args = ap.parse_args()
+    if args.tiny:
+        args.steps, args.iters = 4, 2
 
     from dolfin_navier_scipy_tpu.models import cylinderwake_problem
     from dolfin_navier_scipy_tpu.solve import (

@@ -68,6 +68,11 @@ if __name__ == "__main__":
     ap.add_argument("--Nts", type=int, default=500)
     ap.add_argument("--B", type=int, default=16)
     ap.add_argument("--eps", type=float, default=1e-2)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: 4 members, a few steps")
     args = ap.parse_args()
-    run_sweep(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE,
-              Nts=args.Nts, B=args.B, eps_max=args.eps)
+    if args.tiny:
+        run_sweep(meshlvl=0, Re=40, tE=0.01, Nts=10, B=4)
+    else:
+        run_sweep(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE,
+                  Nts=args.Nts, B=args.B, eps_max=args.eps)

@@ -64,7 +64,14 @@ def main():
                     help="force the CPU backend (the host-sparse "
                          "Newton path gains nothing from the "
                          "accelerator)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: coarsest extrusion, loose tol "
+                         "(benchmark intervals are NOT reached)")
     args = ap.parse_args()
+    if args.tiny:
+        args.nz, args.level = 3, 0
+        args.pseudotime, args.max_rounds = True, 3
+        args.tol = args.tol or 1e-2
     if args.cpu:
         import jax
 

@@ -46,9 +46,14 @@ if __name__ == "__main__":
                     help="force the CPU backend (the host-sparse steady "
                          "path pays per-op remote compiles on the TPU "
                          "tunnel otherwise)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: lvl1 mesh, low Re")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    testit(meshlvl=args.meshlvl, Re=args.Re or 40)
+    if args.tiny:
+        testit(meshlvl=1, Re=20)
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re or 40)

@@ -36,5 +36,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--meshlvl", type=int, default=1)
     ap.add_argument("--Re", type=float, default=60)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: coarsest mesh, short Re list")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re)
+    if args.tiny:
+        testit(meshlvl=0, Re=40, relist=[20, 40])
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re)

@@ -37,5 +37,11 @@ if __name__ == "__main__":
     ap.add_argument("--meshlvl", type=int, default=1)
     ap.add_argument("--Re", type=float, default=60)
     ap.add_argument("--palpha", type=float, default=1e-5)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: coarsest mesh, few iterations")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re, palpha=args.palpha)
+    if args.tiny:
+        testit(meshlvl=0, Re=40, palpha=args.palpha, nnwtnstps=5,
+               npcrdstps=2)
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re, palpha=args.palpha)

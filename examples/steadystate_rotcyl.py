@@ -103,9 +103,19 @@ if __name__ == "__main__":
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the host-sparse steady "
                          "path gains nothing from the accelerator)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: coarsest native mesh, tight "
+                         "bracket, loose xtol (~1e-3 accuracy)")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    testit(meshlvl=args.meshlvl, refmesh=args.refmesh)
+    if args.tiny:
+        omstar, res = find_omega_star(meshlvl=0, bracket=(0.002, 0.01),
+                                      xtol=2e-4)
+        omnd = omstar * 0.1 / (2 * 0.2)
+        print(f"omega* = {omnd:.6f} (published lvl3: 0.00126293; "
+              f"coarse-mesh/loose-tol smoke)")
+    else:
+        testit(meshlvl=args.meshlvl, refmesh=args.refmesh)

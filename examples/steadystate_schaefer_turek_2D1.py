@@ -54,5 +54,10 @@ if __name__ == "__main__":
     ap.add_argument("--meshlvl", type=int, default=1)
     ap.add_argument("--nu", type=float, default=1e-3)
     ap.add_argument("--charvel", type=float, default=0.2)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: coarsest mesh")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, nu=args.nu, charvel=args.charvel)
+    if args.tiny:
+        testit(meshlvl=0)
+    else:
+        testit(meshlvl=args.meshlvl, nu=args.nu, charvel=args.charvel)

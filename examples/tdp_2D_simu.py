@@ -42,7 +42,8 @@ def testit(meshlvl=1, Re=60, charvel=0.2, tE=0.5, Nts=1000,
     ld = LiftDragSurfForce(prob)
     for i, t in enumerate(np.asarray(out["times"])):
         om = rotamp * np.sin(rotfreq * t)
-        vfull = np.asarray(prob.embed(out["vs"][i]))
+        # np.array (copy): asarray on a jax buffer is a READ-ONLY view
+        vfull = np.array(prob.embed(out["vs"][i]))
         vfull[dofs] = om * stencil
         p = np.asarray(out["ps"][i])
         cl, cd = ld.coefficients(vfull, p, charvel=charvel, charlen=0.1)
@@ -58,5 +59,11 @@ if __name__ == "__main__":
     ap.add_argument("--Re", type=float, default=60)
     ap.add_argument("--tE", type=float, default=0.5)
     ap.add_argument("--Nts", type=int, default=1000)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: a few steps")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE, Nts=args.Nts)
+    if args.tiny:
+        testit(meshlvl=1, Re=40, tE=0.01, Nts=10)
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE,
+               Nts=args.Nts)

@@ -41,5 +41,12 @@ if __name__ == "__main__":
     ap.add_argument("--Re", type=float, default=50)
     ap.add_argument("--tE", type=float, default=0.1)
     ap.add_argument("--scheme", choices=("cnab", "sbdf2"), default="cnab")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: short horizon, small Nts list")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE, scheme=args.scheme)
+    if args.tiny:
+        testit(meshlvl=1, Re=50, tE=0.02, scheme=args.scheme,
+               ntsref=64, ntslist=(16, 32))
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE,
+               scheme=args.scheme)

@@ -28,5 +28,10 @@ if __name__ == "__main__":
     ap.add_argument("--meshlvl", type=int, default=1)
     ap.add_argument("--Re", type=float, default=40)
     ap.add_argument("--tE", type=float, default=4.0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: one short stable run")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE)
+    if args.tiny:
+        testit(meshlvl=1, Re=40, tE=0.02, ntslist=(50,))
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE)

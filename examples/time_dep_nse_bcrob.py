@@ -40,6 +40,12 @@ if __name__ == "__main__":
     ap.add_argument("--tE", type=float, default=1.0)
     ap.add_argument("--Nts", type=int, default=2000)
     ap.add_argument("--zerocontrol", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: a few steps")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE, Nts=args.Nts,
-           zerocontrol=args.zerocontrol)
+    if args.tiny:
+        testit(meshlvl=1, Re=60, tE=0.01, Nts=10,
+               zerocontrol=args.zerocontrol)
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE,
+               Nts=args.Nts, zerocontrol=args.zerocontrol)

@@ -36,5 +36,12 @@ if __name__ == "__main__":
     ap.add_argument("--Re", type=float, default=60)
     ap.add_argument("--tE", type=float, default=0.5)
     ap.add_argument("--Nts", type=int, default=1000)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: small channel, a few steps")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE, Nts=args.Nts)
+    if args.tiny:
+        testit(meshlvl=1, Re=40, tE=0.01, Nts=10, ny=2,
+               outfile="results/bigchannel_sig_tiny.json")
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE,
+               Nts=args.Nts)

@@ -134,12 +134,17 @@ def main():
     ap.add_argument("--scheme", default="cnab", choices=["cnab", "sbdf2"])
     ap.add_argument("--json", default=None, help="write results to file")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: coarsest mesh, a few steps "
+                         "(benchmark values are NOT reached)")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.tiny:
+        args.level, args.dt, args.tE, args.measure = 0, 1e-3, 0.01, 0.01
     res = run_dfg2d2(level=args.level, dt=args.dt, tE=args.tE,
                      measure_last=args.measure, perturb=args.perturb,
                      scheme=args.scheme)

@@ -51,6 +51,12 @@ if __name__ == "__main__":
     ap.add_argument("--scheme", choices=("cnab", "sbdf2"), default="cnab")
     ap.add_argument("--paraview", default=None,
                     help="prefix for .pvd/.vtu output")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: coarsest mesh, a few steps")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE, Nts=args.Nts,
-           scheme=args.scheme, paraview=args.paraview)
+    if args.tiny:
+        testit(meshlvl=0, Re=40, tE=0.005, Nts=10, scheme=args.scheme,
+               save_every=5)
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re, tE=args.tE,
+               Nts=args.Nts, scheme=args.scheme, paraview=args.paraview)

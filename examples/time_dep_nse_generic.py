@@ -80,12 +80,19 @@ if __name__ == "__main__":
     parser.add_argument("--timeint", type=str, default="cnab",
                         choices=("cnab", "sbdf2"))
     parser.add_argument("--noparaview", action="store_true")
+    parser.add_argument("--tiny", action="store_true",
+                        help="smoke preset: a few steps, no paraview")
     args = parser.parse_args()
     print(args)
 
-    testit(meshprfx=args.meshprefix, meshlevel=args.meshlevel,
-           Re=args.Re, t0=0.0, tE=args.scaletest * args.tE,
-           Nts=int(args.scaletest * args.Nts), scheme=args.scheme,
-           scheme_ti=args.timeint,
-           paraviewoutput=not args.noparaview,
-           prvoutpnts=args.paraviewframes)
+    if args.tiny:
+        testit(meshprfx=args.meshprefix, meshlevel=1, Re=60, t0=0.0,
+               tE=0.01, Nts=8, scheme=args.scheme,
+               scheme_ti=args.timeint, paraviewoutput=False)
+    else:
+        testit(meshprfx=args.meshprefix, meshlevel=args.meshlevel,
+               Re=args.Re, t0=0.0, tE=args.scaletest * args.tE,
+               Nts=int(args.scaletest * args.Nts), scheme=args.scheme,
+               scheme_ti=args.timeint,
+               paraviewoutput=not args.noparaview,
+               prvoutpnts=args.paraviewframes)

@@ -32,5 +32,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--N", type=int, default=10)
     ap.add_argument("--Nts", type=int, default=200)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: small cavity, a few steps")
     args = ap.parse_args()
-    testit(N=args.N, Nts=args.Nts)
+    if args.tiny:
+        testit(N=8, Nts=10, tE=0.01)
+    else:
+        testit(N=args.N, Nts=args.Nts)

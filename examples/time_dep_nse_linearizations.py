@@ -32,5 +32,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--meshlvl", type=int, default=0)
     ap.add_argument("--Re", type=float, default=40)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke preset: coarsest mesh, a few steps")
     args = ap.parse_args()
-    testit(meshlvl=args.meshlvl, Re=args.Re)
+    if args.tiny:
+        testit(meshlvl=0, Re=40, tE=0.01, Nts=10)
+    else:
+        testit(meshlvl=args.meshlvl, Re=args.Re)
