@@ -128,6 +128,7 @@ def device_fgmres(matvec, precond, b, restart=30, cycles=3):
     Returns the approximate solution of ``matvec(x) = b`` from ``x0=0``.
     """
     import jax.numpy as jnp
+    import jax.scipy.linalg as jsla
     from jax import lax
 
     m = int(restart)
@@ -156,7 +157,12 @@ def device_fgmres(matvec, precond, b, restart=30, cycles=3):
 
         V, Z, H = lax.fori_loop(0, m, arnoldi, (V, Z, H))
         e1 = jnp.zeros((m + 1,), dt_).at[0].set(beta)
-        y = jnp.linalg.lstsq(H, e1)[0]
+        # small least-squares via regularized normal equations — the
+        # TPU remote compiler SIGABRTs on lstsq's SVD path (observed
+        # "Check failed: buffer != nullptr"), and at m ~ 20-40 the
+        # squared condition number is harmless next to the f32 Arnoldi
+        G = H.T @ H + jnp.asarray(1e-12, dt_) * jnp.eye(m, dtype=dt_)
+        y = jsla.solve(G, H.T @ e1, assume_a="pos")
         return x + y @ Z, None
 
     x, _ = lax.scan(cycle, jnp.zeros_like(b), None, length=int(cycles))

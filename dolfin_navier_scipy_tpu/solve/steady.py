@@ -258,7 +258,7 @@ class SteadyKrylovKernel:
 
     _leaf_names = ("aff32", "aff64", "kern32", "kern64", "ell_dofs",
                    "invinds", "v_bc64", "fv64", "fp64", "dMi",
-                   "dinv", "dinv_l")
+                   "dinv", "dinv_l", "Linv")
     _aux_names = ("nin", "npp", "nv_full", "f_iters", "l_iters")
 
     def __init__(self, prob=None, f_iters=None, l_iters=None,
@@ -300,9 +300,39 @@ class SteadyKrylovKernel:
         dL = np.asarray(Jc.multiply(Jc) @ (1.0 / dM)).ravel()[: self.npp]
         self.dinv_l = jnp.asarray(
             1.0 / np.where(dL > 0, dL, 1.0), jnp.float32)
+        # the LSC scaling matrix L = J D_M^-1 J^T is FIXED per problem,
+        # and its solve quality bounds the Schur block: a weak PCG
+        # L-solve floors the whole outer iteration at lvl3+ (measured
+        # ~0.34 relative residual regardless of rounds).  Invest setup
+        # in an exact-ish dense inverse where it fits (np x np; device
+        # f32 build past the host-O(np^3) comfort zone, within the
+        # ~16k device-LU ceiling); PCG stays as the fallback beyond.
+        dense_cap = int(_os.environ.get("DNS_TPU_STEADY_LINV_MAX",
+                                        "16000"))
+        self.Linv = None
+        if self.npp <= dense_cap:
+            L = (Jc @ sps.diags(1.0 / dM)
+                 @ sps.csr_matrix(prob.JTc)).tocsr()[: self.npp,
+                                                     : self.npp]
+            on_cpu = jax.default_backend() == "cpu"
+            if on_cpu or self.npp <= 2500:
+                Li = np.linalg.inv(np.asarray(L.todense())
+                                   + 1e-14 * np.eye(self.npp))
+                self.Linv = jnp.asarray(Li, jnp.float32)
+            else:
+                # blocked device build (recursive Schur blocks keep
+                # each LU under the VMEM ceiling; a flat 13k-row LU
+                # aborts); the (hi, lo) double-f32 pair rides one
+                # stacked matmul in _sk_lsolve
+                from .sadpnt import _device_dense_inverse
+
+                hi, lo = _device_dense_inverse(
+                    np.asarray(L.todense(), np.float32))
+                self.Linv = jnp.concatenate([hi, lo], axis=0)
+        nin_scaled = max(20, int(0.35 * np.sqrt(nin)))
         self.f_iters = (f_iters if f_iters is not None
                         else int(_os.environ.get(
-                            "DNS_TPU_STEADY_F_ITERS", "20")))
+                            "DNS_TPU_STEADY_F_ITERS", str(nin_scaled))))
         self.l_iters = (l_iters if l_iters is not None
                         else int(_os.environ.get(
                             "DNS_TPU_STEADY_L_ITERS", "25")))
@@ -342,8 +372,15 @@ def _sk_fmv(sk, elem, v):
 
 
 def _sk_lsolve(sk, rp):
-    """Jacobi-PCG on the LSC scaling matrix ``L = J D_M^-1 J^T``
-    (SPD; applied matrix-free through the affine J/J^T pipelines)."""
+    """Solve with the LSC scaling matrix ``L = J D_M^-1 J^T``: dense
+    precomputed inverse where it fits (one MXU matvec — exactness here
+    is what keeps the outer iteration mesh-robust), Jacobi-PCG through
+    the affine J/J^T pipelines beyond the cap."""
+    if sk.Linv is not None:
+        y = sk.Linv @ rp
+        if sk.Linv.shape[0] == 2 * sk.npp:     # device (hi, lo) pair
+            return y[: sk.npp] + y[sk.npp:]
+        return y
     from .sadpnt import jacobi_pcg
 
     def lmv(q):
