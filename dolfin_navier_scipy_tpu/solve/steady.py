@@ -259,7 +259,8 @@ class SteadyKrylovKernel:
     _leaf_names = ("aff32", "aff64", "kern32", "kern64", "ell_dofs",
                    "invinds", "v_bc64", "fv64", "fp64", "dMi",
                    "dinv", "dinv_l", "Linv")
-    _aux_names = ("nin", "npp", "nv_full", "f_iters", "l_iters")
+    _aux_names = ("nin", "npp", "nv_full", "f_iters", "f_cycles",
+                  "l_iters")
 
     def __init__(self, prob=None, f_iters=None, l_iters=None,
                  _leaves=None, _aux=None):
@@ -329,10 +330,20 @@ class SteadyKrylovKernel:
                 hi, lo = _device_dense_inverse(
                     np.asarray(L.todense(), np.float32))
                 self.Linv = jnp.concatenate([hi, lo], axis=0)
+        # velocity-block effort scales ~sqrt(nin), but the FGMRES basis
+        # length is CAPPED at 56: basis sizes >= ~80 at n ~ 100k
+        # reliably CRASH the tunneled TPU worker ("TPU worker process
+        # crashed or restarted", reproduced at m=80 and m=110; m=56
+        # runs) — extra effort goes into sequential restart CYCLES,
+        # which reuse the same buffers
         nin_scaled = max(20, int(0.35 * np.sqrt(nin)))
         self.f_iters = (f_iters if f_iters is not None
                         else int(_os.environ.get(
-                            "DNS_TPU_STEADY_F_ITERS", str(nin_scaled))))
+                            "DNS_TPU_STEADY_F_ITERS",
+                            str(min(56, nin_scaled)))))
+        self.f_cycles = int(_os.environ.get(
+            "DNS_TPU_STEADY_F_CYCLES",
+            str(max(1, -(-nin_scaled // 56)))))
         self.l_iters = (l_iters if l_iters is not None
                         else int(_os.environ.get(
                             "DNS_TPU_STEADY_L_ITERS", "25")))
@@ -410,7 +421,7 @@ def _sk_precond(sk, elem, r):
     z = rv - sk.aff32.jt_matvec(q)
     v = device_fgmres(lambda u: _sk_fmv(sk, elem, u),
                       lambda u: sk.dinv * u, z,
-                      restart=sk.f_iters, cycles=1)
+                      restart=sk.f_iters, cycles=sk.f_cycles)
     return jnp.concatenate([v, q])
 
 
