@@ -107,7 +107,7 @@ def device_pgmres(matvec, b, precond, x0=None, tol=1e-12, restart=20,
     return x
 
 
-def device_fgmres(matvec, precond, b, restart=30, cycles=3):
+def device_fgmres(matvec, precond, b, restart=30, cycles=3, x0=None):
     """Jittable FLEXIBLE GMRES (FGMRES, right-preconditioned).
 
     The preconditioner may be a NONLINEAR map — e.g. an inner Jacobi-PCG
@@ -125,7 +125,11 @@ def device_fgmres(matvec, precond, b, restart=30, cycles=3):
     dynamic, so orthogonalization uses a full (m+1)-row product with an
     index mask).  Memory: ``(2 m + 1) n`` work vectors.
 
-    Returns the approximate solution of ``matvec(x) = b`` from ``x0=0``.
+    Returns the approximate solution of ``matvec(x) = b`` from ``x0``
+    (default 0).  ``x0`` lets callers run one restart cycle per jitted
+    dispatch and thread the iterate on the host — the tunneled TPU
+    runtime kills dispatches past ~60 s wall ("TPU worker process
+    crashed"), so large-n many-cycle solves must be split.
     """
     import jax.numpy as jnp
     import jax.scipy.linalg as jsla
@@ -160,10 +164,18 @@ def device_fgmres(matvec, precond, b, restart=30, cycles=3):
         # small least-squares via regularized normal equations — the
         # TPU remote compiler SIGABRTs on lstsq's SVD path (observed
         # "Check failed: buffer != nullptr"), and at m ~ 20-40 the
-        # squared condition number is harmless next to the f32 Arnoldi
-        G = H.T @ H + jnp.asarray(1e-12, dt_) * jnp.eye(m, dtype=dt_)
-        y = jsla.solve(G, H.T @ e1, assume_a="pos")
+        # squared condition number is harmless next to the f32 Arnoldi.
+        # The ridge is RELATIVE to H's scale: an absolute one NaNs the
+        # f32 Cholesky when a cycle (near-)converges and H collapses
+        # toward zero (observed at lvl3), and the final isfinite guard
+        # turns any breakdown into "no update" instead of poison
+        G = H.T @ H
+        reg = (jnp.asarray(1e-6, dt_) * jnp.trace(G) / m + tiny)
+        y = jsla.solve(G + reg * jnp.eye(m, dtype=dt_), H.T @ e1,
+                       assume_a="pos")
+        y = jnp.where(jnp.isfinite(y), y, jnp.zeros_like(y))
         return x + y @ Z, None
 
-    x, _ = lax.scan(cycle, jnp.zeros_like(b), None, length=int(cycles))
+    xstart = jnp.zeros_like(b) if x0 is None else x0.astype(b.dtype)
+    x, _ = lax.scan(cycle, xstart, None, length=int(cycles))
     return x

@@ -426,7 +426,7 @@ def _sk_precond(sk, elem, r):
 
 
 @partial(jax.jit, static_argnames=("restart", "maxiter"))
-def _sk_gmres(sk, elem, r, restart=20, maxiter=3):
+def _sk_gmres(sk, elem, r, restart=20, maxiter=1, x0=None):
     """f32 FGMRES on the linearized saddle, preconditioned by
     :func:`_sk_precond`.  FLEXIBLE because the preconditioner nests
     iterative solves — nonlinear maps that break plain GMRES's Arnoldi
@@ -444,7 +444,7 @@ def _sk_gmres(sk, elem, r, restart=20, maxiter=3):
         return jnp.concatenate([rv, rp])
 
     return device_fgmres(matvec, lambda y: _sk_precond(sk, elem, y),
-                         r32, restart=restart, cycles=maxiter)
+                         r32, restart=restart, cycles=maxiter, x0=x0)
 
 
 @partial(jax.jit, static_argnames=("picard",))
@@ -500,8 +500,13 @@ def _sk_linsolve(sk, v_lin_full, picard, x0=None, rtol=1e-11,
         if rn_new >= 0.7 * rn:      # refinement stalled (f32 floor)
             return x, rn_new / bn
         rn = rn_new
-        dx = _sk_gmres(sk, elem, r / rn, restart=restart,
-                       maxiter=maxiter)
+        # ONE restart cycle per jitted dispatch, iterate threaded on
+        # the host: the tunneled runtime kills ~60 s dispatches (see
+        # device_fgmres), and a full lvl3 multi-cycle call is past that
+        dx = None
+        for _ in range(maxiter):
+            dx = _sk_gmres(sk, elem, r / rn, restart=restart,
+                           maxiter=1, x0=dx)
         x = x + rn * dx.astype(jnp.float64)
     r = _sk_residual64(sk, v_lin_full, x, rhsv, rhsp, picard)
     return x, float(jnp.linalg.norm(r)) / bn
@@ -514,12 +519,34 @@ def _krylov_steady(prob, vel_pcrd_stps, vel_pcrd_tol, vel_nwtn_stps,
     Stokes-init -> Picard -> Newton outer loop
     (stokes_navier_utils.py:438-525), each linearized solve via
     :func:`_sk_linsolve`.  Successive solves warm-start from the
-    previous iterate."""
+    previous iterate.
+
+    Large meshes (> ``DNS_TPU_STEADY_PT_MIN`` inner dofs, default 60k)
+    first run the device pseudo-time march to a near-steady state —
+    the banded CNAB scan covers thousands of steps per minute where
+    one tight lvl3 FGMRES solve costs minutes — then a couple of
+    Newton-krylov steps polish to the update tolerance.  The Newton
+    corrections from the marched state are tiny, so moderate linear
+    tolerances already give ~1e-10 absolute update accuracy."""
+    import os as _os
+
     import scipy.sparse as sps
 
-    sk = SteadyKrylovKernel(prob)
+    sk = None
     Mc = sps.csr_matrix(prob.Mc)
     norms = []
+
+    pt_min = int(_os.environ.get("DNS_TPU_STEADY_PT_MIN", "60000"))
+    if (vel_start_nwtn is None and not only_stokes
+            and len(prob.invinds) > pt_min):
+        if verbose:
+            log.info("steady krylov: pseudo-time init "
+                     f"({len(prob.invinds)} inner dofs > {pt_min})")
+        vel_start_nwtn = solve_steadystate_pseudotime(
+            prob, tol=1e-7, verbose=verbose)
+        vel_pcrd_stps = 0
+
+    sk = SteadyKrylovKernel(prob)
 
     def mnorm(dv):
         return float(np.sqrt(abs(dv @ (Mc @ dv))))
