@@ -798,7 +798,7 @@ def _remaining():
     return _DEADLINE_S - (time.time() - _T0)
 
 
-def _run_subprocess(name, timeout_s):
+def _run_subprocess(name, timeout_s, env=None):
     """Run one measurement body in a fresh subprocess; return its JSON
     dict, or {"hang": true} on timeout/garbage (a wedged subprocess
     usually bails itself via the watchdog before this timeout)."""
@@ -810,7 +810,8 @@ def _run_subprocess(name, timeout_s):
         out = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=dict(os.environ, **(env or {})))
     except subprocess.TimeoutExpired:
         return {"slow_mode": True, "hang": True, "timeout": True}
     for line in reversed(out.stdout.strip().splitlines() or [""]):
@@ -818,7 +819,11 @@ def _run_subprocess(name, timeout_s):
             return json.loads(line)
         except (json.JSONDecodeError, TypeError):
             continue
-    return {"slow_mode": True, "hang": True,
+    # the process EXITED without a JSON line — a crash (e.g. a "TPU
+    # device error" killing the client mid-build), NOT a wedged
+    # tunnel: retry in a fresh process but do NOT count toward the
+    # wedged verdict (only timeouts/watchdog bails do)
+    return {"slow_mode": True, "crashed": True,
             "stderr_tail": (out.stderr or "")[-200:]}
 
 
@@ -826,15 +831,24 @@ def _measure(name, cap_s, attempts=2, reserve_s=60.0):
     """Run ``name``'s body with retries (fresh process per attempt —
     the slow mode and the wedged first dispatch are per-process
     lotteries).  Deadline-aware: each attempt's timeout fits in the
-    remaining budget; skipped entirely when too little remains."""
+    remaining budget; skipped entirely when too little remains.
+    After a CRASH (process died without a JSON line — e.g. the lvl3
+    banded-W build aborting the TPU client on some runtimes), the
+    retry runs with DNS_TPU_WINV=0 (the W-less PCG-banded config,
+    ~2x the step cost but build-safe)."""
     res = None
+    env = None
     for _ in range(attempts):
         rem = _remaining() - reserve_s
         if rem < 140.0:
             return res if res is not None else {"skipped_deadline": True}
-        res = _run_subprocess(name, timeout_s=min(cap_s, rem))
+        res = _run_subprocess(name, timeout_s=min(cap_s, rem), env=env)
         if not res.get("slow_mode"):
+            if env:
+                res = dict(res, winv_disabled=True)
             return res
+        if res.get("crashed"):
+            env = {"DNS_TPU_WINV": "0"}
     return res
 
 

@@ -896,8 +896,11 @@ def _build_winv_banded(Bblk, dinv_perm, bs, nblk, nin, wbases, ww,
     # Bblk/dpad/wb_arr travel as ARGUMENTS: closing over them would
     # embed multi-hundred-MB HLO constants and the remote compile
     # rejects the program with HTTP 413 (seen at lvl3 on fresh shapes;
-    # see solve/timeint.py's module docstring for the rule)
-    @jax.jit
+    # see solve/timeint.py's module docstring for the rule).  W is
+    # DONATED: without aliasing each step materializes a second
+    # full-size W (2.5 GB at lvl3) next to the factors already
+    # resident — the 2026-08-20 runtime aborts there
+    @partial(jax.jit, donate_argnums=(0,))
     def step(W, Bblk, dpad, wb_arr, kb0, kc):
         blks = jax.lax.dynamic_slice(
             Bblk, (kb0, 0, 0), (nlocb, bs, 3 * bs))
@@ -960,11 +963,8 @@ def _build_winv_banded(Bblk, dinv_perm, bs, nblk, nin, wbases, ww,
     W = jnp.zeros((nblk, bs, ww), jnp.float32)
     for kc in range(nblk):
         kb0 = min(max(kc - (nlocb - 1) // 2, 0), nblk - nlocb)
-        Wn = step(W, Bblk, dpad, wb_arr, kb0, kc)
-        Wn.block_until_ready()
-        if Wn is not W:
-            _delete_buffers(W)
-        W = Wn
+        W = step(W, Bblk, dpad, wb_arr, kb0, kc)   # W donated in
+        W.block_until_ready()
     return W
 
 
@@ -1404,10 +1404,24 @@ class SchurSaddleSolver:
             # solved on a ww+4bs-row local window with the banded
             # matvec (docstring of :func:`_build_winv_banded`) — ~10x
             # the global ELL build's speed at lvl3 (the round-3 W-build
-            # setup bottleneck, docs/PERF_NOTES.md section 12)
-            self.Wb = _build_winv_banded(
-                self.Bblk, (1.0 / dv)[perm], self._bs, self._nblk,
-                nv, self._wbases, self._ww, niter_w)
+            # setup bottleneck, docs/PERF_NOTES.md section 12).
+            # RESILIENCE: on the 2026-08-20 tunnel the build at lvl3
+            # shapes (bs=896, ww=6144) reproducibly dies with "TPU
+            # device error" (it ran on the round-3 toolchain) — fall
+            # back to the W-less banded path (fixed-count PCG on the
+            # exact banded F, the pre-W design, ~2x the step cost)
+            # instead of failing the whole solver build.
+            try:
+                self.Wb = _build_winv_banded(
+                    self.Bblk, (1.0 / dv)[perm], self._bs, self._nblk,
+                    nv, self._wbases, self._ww, niter_w)
+            except Exception as e:           # jax runtime errors vary
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "banded W build failed on this runtime (%s); "
+                    "falling back to PCG-on-banded-F", repr(e)[:120])
+                self.Wb = None
         elif banded and self._ww:
             # GLOBAL build (DNS_TPU_WINV_BUILD=global): chunked device
             # Jacobi-PCG on identity columns in PERMUTED order (the X

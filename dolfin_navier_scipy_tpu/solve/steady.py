@@ -542,8 +542,21 @@ def _krylov_steady(prob, vel_pcrd_stps, vel_pcrd_tol, vel_nwtn_stps,
         if verbose:
             log.info("steady krylov: pseudo-time init "
                      f"({len(prob.invinds)} inner dofs > {pt_min})")
-        vel_start_nwtn = solve_steadystate_pseudotime(
-            prob, tol=1e-7, verbose=verbose)
+        # run the march in the W-less banded config: the truncated-
+        # inverse BUILD at lvl3 shapes aborts the TPU client on the
+        # current tunneled runtime (docs/PERF_NOTES.md section 18) and
+        # the abort poisons every later dispatch in the process; the
+        # PCG-on-banded-F config marches at ~half speed but builds
+        # safely.  The caller's own env setting wins if present.
+        _prev = _os.environ.get("DNS_TPU_WINV")
+        if _prev is None:
+            _os.environ["DNS_TPU_WINV"] = "0"
+        try:
+            vel_start_nwtn = solve_steadystate_pseudotime(
+                prob, tol=1e-7, verbose=verbose)
+        finally:
+            if _prev is None:
+                _os.environ.pop("DNS_TPU_WINV", None)
         vel_pcrd_stps = 0
 
     sk = SteadyKrylovKernel(prob)
