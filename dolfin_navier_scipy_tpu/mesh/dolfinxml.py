@@ -173,7 +173,14 @@ def read_facet_region(mesh, path):
                     "the file to the (ordering-independent) "
                     "mesh_value_collection format, or set "
                     "DNS_TPU_3D_LEX_FACETS=1 to accept the "
-                    "lexicographic assumption at your own risk.")
+                    "lexicographic assumption at your own risk.  "
+                    "MIGRATION NOTE: files written by THIS package's "
+                    "own writer before it stamped "
+                    "ordering=\"lexicographic\" ARE lexicographic — "
+                    "re-write them once with mesh.dolfinxml."
+                    "write_dolfin_xml (stamps the attribute), or load "
+                    "them with DNS_TPU_3D_LEX_FACETS=1, which is safe "
+                    "for self-written files.")
             import warnings
 
             warnings.warn(

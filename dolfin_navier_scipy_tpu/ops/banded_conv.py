@@ -72,11 +72,16 @@ _LANE = 128
 #   mispredict on element-heavy shards: 3D, higher order; ADVICE r3).
 #   Calibrated to reproduce the historical per-dof model (46 us per 1k
 #   inner dofs, docs/PERF_NOTES.md section 8/10) at the 2D-P2
-#   calibration meshes: lvl1 nin=6994 / nvals=22104, lvl2 nin=25966 /
-#   nvals=80136 -> nvals/nin = 3.16 -> 46/3.16 = 14.6 us per 1k vals.
+#   calibration meshes: lvl1 nin=6994 / nvals=22104 -> nvals/nin = 3.16
+#   (lvl2 nin=25966 / nvals=80136 -> 3.09; the calibration uses lvl1's
+#   ratio, the few-% spread is far inside the gate's 20% margin)
+#   -> 46/3.16 = 14.6 us per 1k vals.
 # * ``VALS_PER_DOF_2D``: the measured 2D-P2 nvals/nin ratio, used to
 #   translate dof counts when a caller only knows those (sadpnt's
-#   SchurSaddleSolver built from bare matrices).
+#   SchurSaddleSolver built from bare matrices).  2D-P2-SPECIFIC: 3D /
+#   higher-order elements have more values per dof, so the fallback
+#   UNDER-predicts index-pipeline cost there — 3D callers must pass
+#   ``index_nvals`` (solve/timeint.py does, from the element tables).
 # * ``BANDED_WIN_MARGIN``: banded must win by 20% predicted before the
 #   gate flips (misprediction near the crossover is cheap either way).
 # ---------------------------------------------------------------------------

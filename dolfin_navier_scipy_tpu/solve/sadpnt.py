@@ -1018,8 +1018,8 @@ class SchurSaddleSolver:
     def __init__(self, coeff=None, jmat=None, jmatT=None, res_ops=None,
                  dtype=None, ncg=None, cg_tol=None, refine=None,
                  full_map=None, setup="auto", banded="auto",
-                 band_extra=None, index_nvals=None, _leaves=None,
-                 _aux=None):
+                 band_extra=None, index_nvals=None, winv=None,
+                 _leaves=None, _aux=None):
         """``full_map=(invinds, nv_full)`` builds the solver over the
         FULL velocity dof set (the fast state layout): X rows and the
         Jacobi diagonal are zero-padded onto the bc dofs — the zero
@@ -1222,7 +1222,14 @@ class SchurSaddleSolver:
             # if running fast-mode with accuracy needs.  Window measured
             # by probing exact F^{-1} columns with host CG (like X's);
             # docs/PERF_NOTES.md section 12.
-            wmode = _os.environ.get("DNS_TPU_WINV", "auto")
+            # explicit ``winv`` argument wins over the env knob (the
+            # env-var toggle is process-wide and racy for concurrent
+            # builds — callers like the steady pseudotime init pass
+            # winv=False instead of mutating os.environ)
+            if winv is not None:
+                wmode = "1" if winv else "0"
+            else:
+                wmode = _os.environ.get("DNS_TPU_WINV", "auto")
             if wmode == "auto":
                 # measured crossover (docs/PERF_NOTES.md section 12):
                 # when the F band fits VMEM (~128 MB on v5e) the

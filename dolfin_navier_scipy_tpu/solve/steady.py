@@ -542,21 +542,18 @@ def _krylov_steady(prob, vel_pcrd_stps, vel_pcrd_tol, vel_nwtn_stps,
         if verbose:
             log.info("steady krylov: pseudo-time init "
                      f"({len(prob.invinds)} inner dofs > {pt_min})")
-        # run the march in the W-less banded config: the truncated-
-        # inverse BUILD at lvl3 shapes aborts the TPU client on the
-        # current tunneled runtime (docs/PERF_NOTES.md section 18) and
-        # the abort poisons every later dispatch in the process; the
-        # PCG-on-banded-F config marches at ~half speed but builds
-        # safely.  The caller's own env setting wins if present.
-        _prev = _os.environ.get("DNS_TPU_WINV")
-        if _prev is None:
-            _os.environ["DNS_TPU_WINV"] = "0"
-        try:
-            vel_start_nwtn = solve_steadystate_pseudotime(
-                prob, tol=1e-7, verbose=verbose)
-        finally:
-            if _prev is None:
-                _os.environ.pop("DNS_TPU_WINV", None)
+        # run the march in the W-less banded config unless the caller
+        # asked for W via the env knob: the truncated-inverse BUILD at
+        # lvl3 shapes aborts the TPU client on some tunneled runtimes
+        # (docs/PERF_NOTES.md section 18) and the abort poisons every
+        # later dispatch in the process; the PCG-on-banded-F config
+        # marches at ~half speed but builds safely.  Passed as an
+        # explicit argument (not an os.environ mutation, which would
+        # race with concurrent solver builds in this process).
+        winv = (None if _os.environ.get("DNS_TPU_WINV") is not None
+                else False)
+        vel_start_nwtn = solve_steadystate_pseudotime(
+            prob, tol=1e-7, winv=winv, verbose=verbose)
         vel_pcrd_stps = 0
 
     sk = SteadyKrylovKernel(prob)
@@ -692,13 +689,16 @@ def solve_steadystate_nse(
     if linsolver == "auto":
         ncond = len(prob.invinds) + prob.np_cond
         on_cpu = jax.default_backend() == "cpu"
-        # past the dense-LU ceiling the DEVICE path is the default
-        # (VERDICT r3 #2): host splu remains an explicit opt-in.  On
-        # CPU the f64 sparse LU beats assembling the krylov machinery
-        # for mid-size problems, so the host twin keeps a window there.
+        # past the dense-LU ceiling the DEVICE path is the default on
+        # accelerators (VERDICT r3 #2): host splu remains an explicit
+        # opt-in there.  On the CPU backend scipy's f64 splu is faster
+        # and more robust than the f32 FGMRES machinery at EVERY size
+        # above the dense window, so 'auto' keeps resolving to
+        # host-sparse; 'krylov' on CPU is an explicit choice (the tests
+        # exercise it that way).
         if ncond <= 25000 and not (on_cpu and ncond > 6000):
             linsolver = "dense"
-        elif on_cpu and ncond <= 60000:
+        elif on_cpu:
             linsolver = "host-sparse"
         else:
             linsolver = "krylov"
@@ -777,7 +777,7 @@ def solve_steadystate_nse(
 def solve_steadystate_pseudotime(
     prob, dt=None, tol=1e-8, chunk=400, max_rounds=60,
     inivel=None, return_vp=False, return_info=False,
-    linsolver="auto", warm_refine=1, verbose=True, **kw,
+    linsolver="auto", warm_refine=1, winv=None, verbose=True, **kw,
 ):
     """Steady NSE by pseudo-time marching: run the increment-form CNAB
     scan to its fixed point.
@@ -836,7 +836,7 @@ def solve_steadystate_pseudotime(
         out = cnab(trange=np.linspace(0.0, chunk * dt, chunk + 1),
                    prob=prob, inivel=v, inip=p, ops=ops,
                    linsolver=linsolver, warm_refine=warm_refine,
-                   save_every=None, **kw)
+                   winv=winv, save_every=None, **kw)
         if out["ffflag"]:
             dt *= 0.5
             ops = None

@@ -103,7 +103,7 @@ class TimeIntOps:
 
 def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                precision="accurate", linsolver="auto", work_dtype=None,
-               layout="inner"):
+               layout="inner", winv=None):
     """Operator/solver bundle for the INCREMENT-form integrators.
 
     The scan integrators advance ``v_n = v_c + delta`` with a saddle
@@ -179,7 +179,8 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
                 dtype=work_dtype,
                 full_map=(prob.invinds, prob.nv_full),
                 band_extra=prob.Ac,
-                index_nvals=int(np.prod(vd.shape)))
+                index_nvals=int(np.prod(vd.shape)),
+                winv=winv)
             ops = TimeIntOps(solver=solver, M=afful.view("m"),
                              A=afful.view("a"), dt=dt, theta=theta,
                              wdtype=work_dtype)
@@ -199,7 +200,8 @@ def _build_ops(prob, dt, theta, inv_dtype=None, refine=None,
         nvc = prob.space.vdofs_of_cells()
         solver = SchurSaddleSolver(coeff, prob.Jc, prob.JTc,
                                    res_ops=res_ops, dtype=work_dtype,
-                                   index_nvals=int(np.prod(nvc.shape)))
+                                   index_nvals=int(np.prod(nvc.shape)),
+                                   winv=winv)
         return TimeIntOps(solver=solver, M=Mop, A=Aop, E=Eop,
                           dt=dt, theta=theta, wdtype=work_dtype)
 
@@ -565,7 +567,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
          inv_dtype=None, refine=None, ops=None, precision="accurate",
          linsolver="auto", state_layout="auto", warm_refine=0,
          resume_carry=None, umat=None, vmat=None,
-         outfunc=None, out_bundle=None,
+         outfunc=None, out_bundle=None, winv=None,
          verbose=False, **kw):
     """Crank-Nicolson / Adams-Bashforth-2 (reference time_int_utils.py:23).
 
@@ -602,7 +604,7 @@ def cnab(trange=None, prob=None, inivel=None, inip=None,
                    else ("dense" if n_all <= 6000 else "schur"))
         ops = _build_ops(prob, dt, theta=0.5, inv_dtype=inv_dtype,
                          refine=refine, precision=precision,
-                         linsolver=lin_res,
+                         linsolver=lin_res, winv=winv,
                          layout=("full" if (want_full
                                             and lin_res == "schur")
                                  else "inner"))

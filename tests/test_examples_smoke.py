@@ -72,7 +72,16 @@ def test_example_tiny_run(name, monkeypatch, tmp_path):
     assert name in GUARDED
     monkeypatch.setattr(sys, "argv", [name, "--tiny"])
     monkeypatch.chdir(tmp_path)       # relative outputs land in tmp
-    runpy.run_path(str(EXDIR / name), run_name="__main__")
+    import warnings
+
+    with warnings.catch_warnings():
+        # every --tiny preset is tuned to CONVERGE within its budget
+        # (VERDICT r4 weak #6): a not-converged warning in a green run
+        # would make a real convergence regression look identical to
+        # the expected state, so escalate it to a failure here
+        warnings.filterwarnings(
+            "error", message=".*Newton has not converged.*")
+        runpy.run_path(str(EXDIR / name), run_name="__main__")
 
 
 @pytest.mark.parametrize("name", GUARDED)
