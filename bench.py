@@ -1031,7 +1031,10 @@ def main():
                   base_env={"JAX_PLATFORMS": "cpu"})
     _RESULTS["level3"] = l3
     if not l3.get("slow_mode") and not l3.get("skipped_deadline"):
-        l3dev = _measure("level3_device", cap_s=520, attempts=2)
+        # 620 s: measured in-session 572 s end-to-end in a slow-tunnel
+        # window (289 s of that was the guard's first-dispatch +
+        # canary compile), 28.0 steps/s at rel_err 1.2e-5 W-less
+        l3dev = _measure("level3_device", cap_s=620, attempts=2)
         note_hang(l3dev)
         _RESULTS["level3"] = dict(l3, **l3dev)
     _RESULTS["status"] = "level3_done"

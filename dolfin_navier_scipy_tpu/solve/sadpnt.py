@@ -968,6 +968,56 @@ def _build_winv_banded(Bblk, dinv_perm, bs, nblk, nin, wbases, ww,
     return W
 
 
+def _build_winv_banded_subproc(Bblk_host, dinv_perm, bs, nblk, nin,
+                               wbases, ww, niter):
+    """Run :func:`_build_winv_banded` in a THROWAWAY process and ship
+    the blocks through host memory (VERDICT r4 #4).
+
+    The build aborts the tunneled TPU client at lvl3 shapes when its
+    process context already holds the X/S factor-build programs, and
+    the abort poisons every later dispatch in that process
+    (docs/PERF_NOTES.md section 18.2) — so at risky shapes the build
+    runs in a clean subprocess with its own TPU client (concurrent
+    tunnel clients verified healthy 2026-08-21) and only the finished
+    f32 blocks enter this process.  ``Bblk_host`` must be the HOST copy
+    of the banded F blocks (shipping the device copy back through the
+    tunnel would cost minutes at lvl3's 1.2 GB).
+
+    Returns the W blocks as a host array; raises on subprocess failure
+    (caller falls back to the W-less PCG-on-banded-F config).
+    """
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    pkgroot = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    # generous default: in slow tunnel windows the subprocess's client
+    # init + first compiles alone have measured 5-12 min (2026-08-21)
+    timeout_s = float(_os.environ.get(
+        "DNS_TPU_WINV_SUBPROC_TIMEOUT_S", "1500"))
+    with tempfile.TemporaryDirectory() as td:
+        inp = _os.path.join(td, "winv_in.npz")
+        outp = _os.path.join(td, "winv_out.npy")
+        np.savez(inp, Bblk=np.asarray(Bblk_host, np.float32),
+                 dinv_perm=np.asarray(dinv_perm, np.float32),
+                 bs=bs, nblk=nblk, nin=nin,
+                 wbases=np.asarray(wbases, np.int64),
+                 ww=ww, niter=niter)
+        env = dict(_os.environ)
+        env["PYTHONPATH"] = (pkgroot + _os.pathsep
+                             + env.get("PYTHONPATH", ""))
+        r = subprocess.run(
+            [_sys.executable, "-m",
+             "dolfin_navier_scipy_tpu.solve._winv_subproc", inp, outp],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+        if r.returncode != 0 or not _os.path.exists(outp):
+            raise RuntimeError(
+                "W subprocess build failed rc=%s: %s"
+                % (r.returncode, (r.stderr or "")[-300:]))
+        return np.load(outp)
+
+
 def _rect_mv(blocks, bases, w, nrows, ncl_pad, x):
     """``A_perm @ x`` via the static-window block form (slices + one
     batched matmul; ``bases`` are compile-time constants)."""
@@ -1406,29 +1456,65 @@ class SchurSaddleSolver:
                          0, itw[0] + 1))
             niter_w = itw[0] + 3
         if (banded and self._ww and _os.environ.get(
-                "DNS_TPU_WINV_BUILD", "local") != "global"):
+                "DNS_TPU_WINV_BUILD", "auto") not in ("global",)):
             # localized banded build: each bs-column identity chunk is
             # solved on a ww+4bs-row local window with the banded
             # matvec (docstring of :func:`_build_winv_banded`) — ~10x
             # the global ELL build's speed at lvl3 (the round-3 W-build
             # setup bottleneck, docs/PERF_NOTES.md section 12).
-            # RESILIENCE: on the 2026-08-20 tunnel the build at lvl3
-            # shapes (bs=896, ww=6144) reproducibly dies with "TPU
-            # device error" (it ran on the round-3 toolchain) — fall
-            # back to the W-less banded path (fixed-count PCG on the
-            # exact banded F, the pre-W design, ~2x the step cost)
-            # instead of failing the whole solver build.
-            try:
-                self.Wb = _build_winv_banded(
-                    self.Bblk, (1.0 / dv)[perm], self._bs, self._nblk,
-                    nv, self._wbases, self._ww, niter_w)
-            except Exception as e:           # jax runtime errors vary
-                import logging
+            # RESILIENCE (VERDICT r4 #4): on the 2026-08-20 tunnel the
+            # IN-PROCESS build at lvl3 shapes (bs=896, ww=6144)
+            # reproducibly dies with "TPU device error" — a
+            # process-context trigger that poisons later dispatches
+            # (PERF_NOTES 18.2).  At risky shapes ('auto' past
+            # DNS_TPU_WINV_SUBPROC_GB, default 1 GB of W blocks) the
+            # build therefore runs in a THROWAWAY subprocess with its
+            # own clean TPU client (_build_winv_banded_subproc) so a
+            # build abort can never touch this process; small shapes
+            # keep the zero-overhead in-process build, and an
+            # in-process failure still retries via the subprocess
+            # before falling back to the W-less banded path
+            # (fixed-count PCG on the exact banded F, ~2x step cost).
+            bmode = _os.environ.get("DNS_TPU_WINV_BUILD", "auto")
+            wgb = float(_os.environ.get("DNS_TPU_WINV_SUBPROC_GB",
+                                        "1.0"))
+            risky = (jax.default_backend() != "cpu"
+                     and nblk * bs * self._ww * 4 > wgb * 1e9)
+            use_sub = (bmode == "subproc"
+                       or (bmode == "auto" and risky))
+            import logging
 
-                logging.getLogger(__name__).warning(
-                    "banded W build failed on this runtime (%s); "
-                    "falling back to PCG-on-banded-F", repr(e)[:120])
+            _wlog = logging.getLogger(__name__)
+
+            def _sub():
+                return jnp.asarray(_build_winv_banded_subproc(
+                    blocks, (1.0 / dv)[perm], self._bs, self._nblk,
+                    nv, self._wbases, self._ww, niter_w))
+
+            try:
+                if use_sub:
+                    self.Wb = _sub()
+                else:
+                    self.Wb = _build_winv_banded(
+                        self.Bblk, (1.0 / dv)[perm], self._bs,
+                        self._nblk, nv, self._wbases, self._ww,
+                        niter_w)
+            except Exception as e:           # jax runtime errors vary
                 self.Wb = None
+                if not use_sub:
+                    _wlog.warning(
+                        "in-process banded W build failed (%s); "
+                        "retrying in a throwaway subprocess",
+                        repr(e)[:120])
+                    try:
+                        self.Wb = _sub()
+                    except Exception as e2:
+                        e = e2
+                if self.Wb is None:
+                    _wlog.warning(
+                        "banded W build failed on this runtime (%s); "
+                        "falling back to PCG-on-banded-F",
+                        repr(e)[:120])
         elif banded and self._ww:
             # GLOBAL build (DNS_TPU_WINV_BUILD=global): chunked device
             # Jacobi-PCG on identity columns in PERMUTED order (the X

@@ -142,3 +142,20 @@ def test_winv_gates(saddle, monkeypatch):
     monkeypatch.setenv("DNS_TPU_WINV", "auto")
     assert SchurSaddleSolver(coeff=F, jmat=prob.Jc,
                              jmatT=prob.JTc).Wb is None
+
+
+def test_winv_subproc_build_matches_local(saddle, monkeypatch):
+    """The throwaway-subprocess W build (VERDICT r4 #4: the in-process
+    build aborts the tunneled client at lvl3 shapes) must produce the
+    SAME blocks as the in-process build — same localized PCG on the
+    same inputs, just a clean device context + an npz round trip."""
+    prob, F, bv, bp, ref = saddle
+    monkeypatch.setenv("DNS_TPU_WINV", "1")
+    monkeypatch.setenv("DNS_TPU_WINV_BUILD", "local")
+    slv_loc = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc)
+    monkeypatch.setenv("DNS_TPU_WINV_BUILD", "subproc")
+    slv_sub = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc)
+    assert slv_loc.Wb is not None and slv_sub.Wb is not None
+    wl, ws = np.asarray(slv_loc.Wb), np.asarray(slv_sub.Wb)
+    assert wl.shape == ws.shape
+    assert np.allclose(wl, ws, rtol=0, atol=1e-6 * np.abs(wl).max())

@@ -82,12 +82,25 @@ def main():
         x = jnp.asarray(rng.standard_normal((nblk, w)), jnp.float32)
         mb = B.nbytes / 1e6
         rows = []
-        for dt, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16"),
-                         (jnp.int8, "int8")):
-            if dt == jnp.int8 and not zo:
+        for name in ("f32", "bf16", "f16", "int8", "int16"):
+            if name == "int8" and not zo:
                 continue
-            Bd = (jnp.asarray(B, jnp.float32).astype(dt)
-                  if dt != jnp.int8 else jnp.asarray(B, jnp.int8))
+            if name == "int16":
+                # per-(block,row) symmetric scales; the dequant rides
+                # the OUTPUT (``s * (Bq @ x)``), so the HBM question —
+                # does the scan stream 2-byte blocks or a hoisted f32
+                # copy? — is isolated in Bq.  eps = 1/32767 ~ 3e-5:
+                # well under bf16's 3.9e-3, absorbed by one refine
+                # round (docs/PERF_NOTES.md section 14's criterion).
+                s = np.maximum(np.abs(B).max(axis=2), 1e-30) / 32767.0
+                Bd = jnp.asarray(
+                    np.round(B / s[:, :, None]).astype(np.int16))
+            elif name == "int8":
+                Bd = jnp.asarray(B, jnp.int8)
+            else:
+                Bd = jnp.asarray(B, jnp.float32).astype(
+                    dict(f32=jnp.float32, bf16=jnp.bfloat16,
+                         f16=jnp.float16)[name])
             us = slope_us(Bd, x)
             eff = Bd.nbytes / us / 1e3  # GB/s vs STORED bytes
             rows.append(f"{name}: {us:8.1f} us  "
