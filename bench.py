@@ -208,9 +208,20 @@ def _stream_bytes_per_step(slv, conv_nbytes, refine, niter=None):
     r = int(refine)
     b = int(conv_nbytes)
     b += _tree_nbytes(getattr(slv, "Eblk", None))
-    wb = _tree_nbytes(getattr(slv, "Wb", None))
+
+    def _pairfac(arr):
+        # bf16 hi/lo pairs (low-bit storage): the predictor streams
+        # only the hi rows (half the stored bytes), each refine round
+        # streams the full pair
+        bs = getattr(slv, "_bs", 0)
+        if arr is not None and bs and arr.shape[1] == 2 * bs:
+            return 0.5 + r
+        return 1.0 + r
+
+    wb_arr = getattr(slv, "Wb", None)
+    wb = _tree_nbytes(wb_arr)
     if wb:
-        b += (1 + r) * wb
+        b += int(_pairfac(wb_arr) * wb)
     else:
         if niter is None:
             from dolfin_navier_scipy_tpu.solve.timeint import (
@@ -220,7 +231,8 @@ def _stream_bytes_per_step(slv, conv_nbytes, refine, niter=None):
             niter = _NITER_WARM
         b += (1 + r) * niter * _tree_nbytes(getattr(slv, "Bblk", None))
     b += (1 + r) * _tree_nbytes(getattr(slv, "Sinv", None))
-    b += (1 + r) * _tree_nbytes(getattr(slv, "Xb", None))
+    xb_arr = getattr(slv, "Xb", None)
+    b += int(_pairfac(xb_arr) * _tree_nbytes(xb_arr))
     b += (1 + 2 * r) * _tree_nbytes(getattr(slv, "Jb", None))
     b += r * _tree_nbytes(getattr(slv, "JTb", None))
     b += r * _tree_nbytes(getattr(slv, "Bblk", None))
@@ -844,6 +856,57 @@ def _level3d_body(nz=4, nsteps=150, base_steps=6, oracle_steps=60):
     return out
 
 
+def _level3dbig_body(oracle="l3dbig_lvl0_nz16_o20.npz"):
+    """>=100k-dof 3D row (VERDICT r4 #7): CNAB on the extruded 3D
+    cylinder wake at level 0 / nz=16 — 100,719 inner velocity + 5,950
+    pressure dofs — through the production full-layout Schur scan (the
+    flat-band gate correctly rejects 3D bandwidths at this size, so
+    the element-pipeline PCG carries the velocity solves).
+
+    The f64 splu oracle + reference-recipe baseline at this size cost
+    ~50 min of single-core host work (splu factor 598 s, 88.6 s per
+    backsolve — the reference recipe collapses in 3D, which is the
+    point of the row), so they are generated ONCE on the exclusive
+    bench host and committed under bench_oracles/ with provenance; the
+    driver run measures the device half fresh and reports rel_err
+    against the committed f64 trajectory.  ``l3dbig_host_cached``
+    marks the provenance in the JSON."""
+    import numpy as np
+
+    g = _guard()
+    if isinstance(g, dict):
+        return g
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_oracles", oracle)
+    if not os.path.exists(path):
+        return {"skipped": "no committed oracle (bench_oracles/)"}
+    d = np.load(path)
+    t0 = time.time()
+    from dolfin_navier_scipy_tpu.models.cylinderwake3d import (
+        cylinderwake3d_problem,
+    )
+
+    prob = cylinderwake3d_problem(
+        level=int(d["level"]), nz=int(d["nz"]), nu=1e-3, charvel=0.2,
+        paraboloid_inflow=True, zslip=False, length=2.5,
+        center=(0.5, 0.2))
+    dt, nsteps = float(d["dt"]), int(d["nsteps"])
+    sps_, v_dev, ops = device_steps_per_sec(
+        prob, dt, nsteps=nsteps, mode="accurate", linsolver="schur",
+        layout="full", v0=d["v0"], warm_refine=1)
+    setup_s = round(time.time() - t0, 1)
+    rel = float(np.linalg.norm(v_dev - d["v64"])
+                / np.linalg.norm(d["v64"]))
+    base = float(d["base_sps"])
+    return {"l3dbig": round(sps_, 2), "l3dbig_base": round(base, 4),
+            "l3dbig_dofs": int(d["dofs"]), "l3dbig_nz": int(d["nz"]),
+            "l3dbig_rel_err": rel, "l3dbig_setup_s": setup_s,
+            "l3dbig_nsteps": nsteps,
+            "l3dbig_vs_baseline": round(sps_ / base, 1),
+            "l3dbig_host_cached": True,
+            "l3dbig_canary_gbps": round(g, 1)}
+
+
 def _ensemble_body():
     """Batched-trajectory throughput (parameter-sweep mode): aggregate
     trajectory-steps/s for B vmapped members of one lvl1 scan."""
@@ -883,6 +946,7 @@ _BODIES = {
     "level3_host": "_level3_host_body()",
     "level3_device": "_level3_device_body()",
     "level3d": "_level3d_body()",
+    "level3dbig": "_level3dbig_body()",
     "ensemble": "_ensemble_body()",
     "app_us": "_appus_body()",
 }
@@ -1040,7 +1104,8 @@ def main():
     _RESULTS["status"] = "level3_done"
     _emit()
 
-    for name, cap, att in (("level2", 440, 2), ("level3d", 480, 1)):
+    for name, cap, att in (("level2", 440, 2), ("level3d", 480, 1),
+                           ("level3dbig", 560, 1)):
         if _RESULTS.get("wedged"):
             cap, att = 130, 1    # one cheap look in case it recovered
         res = _measure(name, cap_s=cap, attempts=att)

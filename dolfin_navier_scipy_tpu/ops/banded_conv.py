@@ -217,11 +217,20 @@ def build_banded_conv_tail(kern, nin, bc_tail, bs=256, max_gb=None,
     keep = rows < nin
 
     # ---- gate on predicted HBM stream cost, before any allocation ----
-    # 0/1 blocks are EXACT in bfloat16 — half the HBM stream for free
-    # (TPU only: CPU emulates bf16 and would slow the host path)
-    bf16 = (os.environ.get("DNS_TPU_BANDED_CONV_BF16", "1") != "0"
-            and jax.default_backend() != "cpu")
-    bfac = 0.5 if bf16 else 1.0
+    # 0/1 blocks are EXACT in any integer/low-float dtype — int8
+    # quarters the HBM stream for free and is an MXU-native operand:
+    # measured per application at the lvl2 S/G shapes int8 92.8/288.4
+    # us vs bf16 196.0/516.8 vs f32 377.1/607.7 (tools/probe_lowbit.py
+    # 2026-08-21).  TPU default int8; CPU keeps f32 (low-bit there is
+    # emulated and slower).  DNS_TPU_BANDED_CONV_STORE in
+    # {int8, bf16, f32} overrides; the legacy DNS_TPU_BANDED_CONV_BF16
+    # =0 knob still forces f32.
+    store = os.environ.get("DNS_TPU_BANDED_CONV_STORE")
+    if store is None:     # defaults per backend; explicit env wins
+        store = ("f32" if jax.default_backend() == "cpu" else "int8")
+    if os.environ.get("DNS_TPU_BANDED_CONV_BF16", "1") == "0":
+        store = "f32"
+    bfac = {"int8": 0.25, "bf16": 0.5}.get(store, 1.0)
     nblk_s = max(1, (nin + bs - 1) // bs)
     nblk_g = max(1, (nvals + bs - 1) // bs)
     by = bfac * (_window_bytes(rows[keep], cols[keep], nblk_s, bs)
@@ -250,7 +259,8 @@ def build_banded_conv_tail(kern, nin, bc_tail, bs=256, max_gb=None,
     ue_bc = vpad[np.minimum(vd_s, nv_full)].astype(np.float32)
 
     kern_s = kern.with_element_order(eorder)
-    bdt = jnp.bfloat16 if bf16 else jnp.float32
+    bdt = {"int8": jnp.int8, "bf16": jnp.bfloat16}.get(store,
+                                                       jnp.float32)
     return BandedConvTail(
         kern_s, jnp.asarray(Sb, bdt), jnp.asarray(Gb, bdt),
         jnp.asarray(ue_bc),

@@ -1027,6 +1027,59 @@ def _rect_mv(blocks, bases, w, nrows, ncl_pad, x):
     return y.reshape(-1)[:nrows]
 
 
+def _pair_stack(blocks):
+    """bf16 hi/lo ROW-stack of f32 banded blocks: ``(k, 2 bs, w)`` with
+    ``hi = bf16(B)`` rows first and ``lo = bf16(B - hi)`` rows below.
+
+    bf16 is the MXU's NATIVE operand: the measured per-application cost
+    of a bf16 block stream is 2.4x below the same f32 blocks
+    (tools/probe_lowbit.py, 2026-08-21: W-shaped 606 MB f32 912.6 us vs
+    bf16 378.4; int16/f16 converts do NOT fuse and land back at f32
+    cost).  The row-stacked pair applies as ONE einsum whose output
+    rows fold (``y_hi + y_lo``) — 16 effective mantissa bits
+    (~1.5e-5), f32 bytes at bf16 MXU speed — while slicing the hi rows
+    alone streams HALF the f32 bytes at bf16 speed with ~4e-3 rounding.
+    The asymmetric schedule (hi-only predictor, pair refine) keeps the
+    refine contraction at the window-truncation floor, so the
+    trajectory cannot see the storage change.  Runs on the array's own
+    backend (device factors never round-trip the tunnel)."""
+
+    @jax.jit
+    def conv(B):
+        hi = B.astype(jnp.bfloat16)
+        # optimization_barrier is LOAD-BEARING: XLA's excess-precision
+        # folding elides the f32->bf16->f32 roundtrip inside one jitted
+        # program, which silently turns ``lo`` into zero and degrades
+        # the pair to single-bf16 (~4e-3) — observed on the TPU
+        # backend 2026-08-21; the barrier forces the rounded hi to
+        # materialize before the subtraction
+        hi32 = jax.lax.optimization_barrier(hi).astype(jnp.float32)
+        lo = (B - hi32).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, lo], axis=1)
+
+    return conv(jnp.asarray(blocks, jnp.float32))
+
+
+def _rect_mv_pair(blocks2, bases, w, nrows, ncl_pad, x, hi_only):
+    """:func:`_rect_mv` over a :func:`_pair_stack`-ed factor.
+
+    ``hi_only``: stream just the bf16 hi rows (half the f32 bytes —
+    the predictor's form); otherwise one einsum over the full pair and
+    a row fold (f32-grade, for the refine application)."""
+    bs = blocks2.shape[1] // 2
+    xpad = jnp.pad(x, (0, ncl_pad - x.shape[0]))
+    xw = jnp.stack([jax.lax.slice(xpad, (b,), (b + w,)) for b in bases])
+    if hi_only:
+        y = jnp.einsum("kij,kj->ki", blocks2[:, :bs], xw,
+                       precision=_BAND_PREC,
+                       preferred_element_type=jnp.float32)
+        return y.reshape(-1)[:nrows]
+    y2 = jnp.einsum("kij,kj->ki", blocks2, xw, precision=_BAND_PREC,
+                    preferred_element_type=jnp.float32)
+    y = y2[:, :bs] + y2[:, bs:]
+    return y.reshape(-1)[:nrows]
+
+
 @jax.tree_util.register_pytree_node_class
 class SchurSaddleSolver:
     """Block-Schur saddle solver: exact dense Schur factors seeded by ONE
@@ -1547,14 +1600,54 @@ class SchurSaddleSolver:
             self.Wb = Wb
         if (self.Wb is not None and jax.default_backend() != "cpu"
                 and _os.environ.get("DNS_TPU_WINV_BF16", "0") == "1"):
-            # bf16 storage halves W's HBM stream (the dominant bytes of
-            # the lvl2+ step).  Rounding lifts the one-shot solve error
-            # to ~bf16 eps (4e-3 relative); each refine round contracts
-            # the trajectory error by that factor, so refine=2 restores
-            # the f32 floor at ~1.5x the f32-W refine=1 stream.  Opt-in
-            # (DNS_TPU_WINV_BF16=1) until the end-to-end trade is
-            # measured per level (tools/probe_wtol.py --bf16).
+            # legacy knob (superseded by DNS_TPU_LOWBIT's hi/lo pairs):
+            # single-bf16 W halves the stream but imprints ~4e-3 on the
+            # one-shot solve; refine=2 restores the floor at ~1.5x the
+            # f32-W refine=1 stream (tools/probe_wtol.py --bf16).
             self.Wb = self.Wb.astype(jnp.bfloat16)
+
+        # LOW-BIT FACTOR STORAGE (VERDICT r4 #2 — lvl2 streams 1.9
+        # GB/step at 82% of HBM peak; bytes are the only lever left):
+        # bf16 is the MXU's native operand, measured 2.4x per
+        # application over the same f32 blocks (tools/probe_lowbit.py;
+        # int16/f16 converts do not fuse).  The SOLVE factors W/X
+        # become hi/lo bf16 row-pairs (_pair_stack): the predictor
+        # streams the hi rows alone (half the f32 bytes, ~4e-3
+        # rounding), the refine application streams the full pair (f32
+        # bytes at bf16 speed, ~1.5e-5) — so with warm_refine>=1 the
+        # trajectory floor stays at the window-truncation level (the
+        # measured 1.4e-7 lvl2 regime), unlike the legacy single-bf16
+        # W whose refine=1 floor was 4.3e-6 (PERF_NOTES section 14).
+        # S^-1's existing f32 hi/lo stack becomes a bf16 hi/lo stack
+        # (4x fewer bytes; ~1.5e-5, absorbed like W's truncation).
+        # Residual/rhs operators (banded F, J, J^T, Eblk) stay f32 —
+        # their noise enters the refine residual UNcontracted.
+        # Default on accelerator backends; DNS_TPU_LOWBIT=0 opts out
+        # (CPU keeps f32: bf16 there is emulated and slower).
+        lb = _os.environ.get("DNS_TPU_LOWBIT", "auto")
+        use_lb = (lb == "1" or (lb == "auto"
+                                and jax.default_backend() != "cpu"))
+        if use_lb and banded and dtype == jnp.float32:
+            if self.Wb is not None and self.Wb.dtype == jnp.float32:
+                self.Wb = _pair_stack(self.Wb)
+            if self.Xb is not None and self.Xb.dtype == jnp.float32:
+                self.Xb = _pair_stack(self.Xb)
+            if (self.Sinv is not None
+                    and self.Sinv.shape[0] == 2 * npp
+                    and self.Sinv.dtype == jnp.float32):
+
+                @jax.jit
+                def _sinv_pair(S):
+                    hi, lo = S[:npp], S[npp:]
+                    s1 = hi.astype(jnp.bfloat16)
+                    # barrier: see _pair_stack — without it XLA folds
+                    # the bf16 roundtrip and s2 collapses to bf16(lo)
+                    s1_32 = jax.lax.optimization_barrier(
+                        s1).astype(jnp.float32)
+                    s2 = ((hi - s1_32) + lo).astype(jnp.bfloat16)
+                    return jnp.concatenate([s1, s2], axis=0)
+
+                self.Sinv = _sinv_pair(self.Sinv)
 
         if full_map is not None:
             dinvf = np.zeros(self.nv)
@@ -1648,13 +1741,18 @@ class SchurSaddleSolver:
             return q2[: self.np] + q2[self.np:]
         return q2
 
-    def _xapply(self, q):
+    def _xapply(self, q, hi_only=False):
         """``X @ q`` via the transposed factor (one MXU vecmat per
         row-part; multi-GB factors are stored as ROW-PARTS because the
         full-size concatenate peaks at 2x X during setup — lvl3 OOM).
         Banded mode: X is stored banded (exact to the f32 floor) —
-        static window slices + one batched matmul."""
+        static window slices + one batched matmul; under low-bit
+        storage it is a bf16 hi/lo row-pair like W (see _wapply)."""
         if self.Xb is not None:
+            if self.Xb.shape[1] == 2 * self._bs:
+                return _rect_mv_pair(self.Xb, self._xbases, self._wx,
+                                     self._nin, self._ncolpad_x, q,
+                                     hi_only)
             return _rect_mv(self.Xb, self._xbases, self._wx, self._nin,
                             self._ncolpad_x, q)
         parts = self.XT if isinstance(self.XT, tuple) else (self.XT,)
@@ -1681,11 +1779,18 @@ class SchurSaddleSolver:
     def _fmv_perm(self, xp):
         return _banded_mv(self.Bblk, xp, self._bs, self._nblk, self._nin)
 
-    def _wapply(self, bp):
+    def _wapply(self, bp, hi_only=False):
         """``W @ bp``: the banded truncated inverse replaces the whole
         fixed-count PCG — one wide static-window matvec (~2x fewer HBM
         bytes than the iteration's F-band streams, no sequential
-        dependencies, solve tolerance = the truncation threshold)."""
+        dependencies, solve tolerance = the truncation threshold).
+        Under low-bit storage the factor is a bf16 hi/lo row-pair:
+        ``hi_only`` streams half the bytes (predictor), the pair is
+        f32-grade (refine)."""
+        if self.Wb.shape[1] == 2 * self._bs:
+            return _rect_mv_pair(self.Wb, self._wbases, self._ww,
+                                 self._nin, self._ncolpad_w, bp,
+                                 hi_only)
         return _rect_mv(self.Wb, self._wbases, self._ww, self._nin,
                         self._ncolpad_w, bp)
 
@@ -1712,13 +1817,18 @@ class SchurSaddleSolver:
         solves are direct wide banded matvecs (warm starts unused); the
         refine residuals always use the EXACT banded F, so W/X
         truncation is absorbed quadratically per round."""
+        # asymmetric low-bit schedule: the PREDICTOR streams the bf16
+        # hi rows of W/X alone when a refine round follows (its ~4e-3
+        # rounding is corrected like the window truncation); with NO
+        # refine the full pair keeps the one-shot solve at f32 grade
+        hi_only = refine > 0
         if self.Wb is not None:
-            y = self._wapply(bvp)
+            y = self._wapply(bvp, hi_only=hi_only)
         else:
             y = jacobi_pcg(self._fmv_perm, self.dinv_b, bvp,
                            niter or self.ncg, x0=y0p)
         q = self._sapply(self._jmv_perm(y) - bpp)
-        v = y - self._xapply(q)
+        v = y - self._xapply(q, hi_only=hi_only)
         for _ in range(refine):
             rv = bvp - (self._fmv_perm(v) + self._jtmv_perm(q))
             rp = bpp - self._jmv_perm(v)

@@ -159,3 +159,37 @@ def test_winv_subproc_build_matches_local(saddle, monkeypatch):
     wl, ws = np.asarray(slv_loc.Wb), np.asarray(slv_sub.Wb)
     assert wl.shape == ws.shape
     assert np.allclose(wl, ws, rtol=0, atol=1e-6 * np.abs(wl).max())
+
+
+def test_lowbit_pair_storage(saddle, monkeypatch):
+    """Low-bit factor storage (DNS_TPU_LOWBIT=1): W/X become bf16
+    hi/lo row-pairs, S^-1 a bf16 hi/lo stack.  Two invariants:
+
+    * the lo half must be NONZERO — XLA's excess-precision folding
+      elides the f32->bf16->f32 roundtrip inside one jitted program
+      (observed on the TPU backend 2026-08-21), which silently
+      degrades the pair to single-bf16 (~4e-3); _pair_stack carries an
+      optimization_barrier against exactly this;
+    * with one refine round the solve must stay at the f32-grade
+      floor (hi-only predictor rounding and window truncation both
+      absorbed)."""
+    prob, F, bv, bp, ref = saddle
+    monkeypatch.setenv("DNS_TPU_WINV", "1")
+    monkeypatch.setenv("DNS_TPU_LOWBIT", "1")
+    slv = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc)
+    assert slv.Wb.dtype == jnp.bfloat16
+    assert slv.Wb.shape[1] == 2 * slv._bs
+    bs = slv._bs
+    lo_mag = float(jnp.abs(slv.Wb[:, bs:].astype(jnp.float32)).max())
+    hi_mag = float(jnp.abs(slv.Wb[:, :bs].astype(jnp.float32)).max())
+    assert lo_mag > 1e-4 * hi_mag, "pair lo half elided (XLA folding)"
+    s2_mag = float(jnp.abs(
+        slv.Sinv[slv.np:].astype(jnp.float32)).max())
+    s1_mag = float(jnp.abs(
+        slv.Sinv[: slv.np].astype(jnp.float32)).max())
+    assert s2_mag > 1e-4 * s1_mag, "Sinv lo half elided (XLA folding)"
+    for refine, tol in ((0, 5e-3), (1, 2e-6)):
+        slv.refine = refine
+        out = np.asarray(slv.solve(jnp.asarray(bv), jnp.asarray(bp)))
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < tol, (refine, rel)
