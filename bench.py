@@ -210,12 +210,13 @@ def _stream_bytes_per_step(slv, conv_nbytes, refine, niter=None):
     b += _tree_nbytes(getattr(slv, "Eblk", None))
 
     def _pairfac(arr):
-        # bf16 hi/lo pairs (low-bit storage): the predictor streams
-        # only the hi rows (half the stored bytes), each refine round
-        # streams the full pair
+        # bf16 hi/lo stacks (low-bit storage, 2 or 3 levels): the
+        # predictor streams only the hi rows (1/nparts of the stored
+        # bytes), each refine round streams the full stack
         bs = getattr(slv, "_bs", 0)
-        if arr is not None and bs and arr.shape[1] == 2 * bs:
-            return 0.5 + r
+        if (arr is not None and bs and arr.shape[1] > bs
+                and arr.shape[1] % bs == 0):
+            return 1.0 / (arr.shape[1] // bs) + r
         return 1.0 + r
 
     wb_arr = getattr(slv, "Wb", None)

@@ -1027,9 +1027,9 @@ def _rect_mv(blocks, bases, w, nrows, ncl_pad, x):
     return y.reshape(-1)[:nrows]
 
 
-def _pair_stack(blocks):
-    """bf16 hi/lo ROW-stack of f32 banded blocks: ``(k, 2 bs, w)`` with
-    ``hi = bf16(B)`` rows first and ``lo = bf16(B - hi)`` rows below.
+def _pair_stack(blocks, parts=2):
+    """bf16 hi/lo ROW-stack of f32 banded blocks: ``(k, parts*bs, w)``
+    with ``hi = bf16(B)`` rows first and residual levels below.
 
     bf16 is the MXU's NATIVE operand: the measured per-application cost
     of a bf16 block stream is 2.4x below the same f32 blocks
@@ -1041,32 +1041,46 @@ def _pair_stack(blocks):
     alone streams HALF the f32 bytes at bf16 speed with ~4e-3 rounding.
     The asymmetric schedule (hi-only predictor, pair refine) keeps the
     refine contraction at the window-truncation floor, so the
-    trajectory cannot see the storage change.  Runs on the array's own
-    backend (device factors never round-trip the tunnel)."""
+    trajectory cannot see the storage change.  ``parts=3`` appends a
+    second residual level (``lo2 = bf16(B - hi - lo)``, ~24 effective
+    mantissa bits ~ f32 grade): measured at lvl2, the 16-bit pair
+    leaves a ~7e-7 per-factor refine floor that SUMS across W/X/S^-1
+    to 1.5e-6 — the tri-split restores the f32 refine floor on the
+    factors that need it at 1.5x the f32 byte count only in the refine
+    application (the predictor still streams hi alone).  Runs on the
+    array's own backend (device factors never round-trip the
+    tunnel)."""
 
-    @jax.jit
-    def conv(B):
-        hi = B.astype(jnp.bfloat16)
+    @partial(jax.jit, static_argnums=1)
+    def conv(B, nparts):
         # optimization_barrier is LOAD-BEARING: XLA's excess-precision
         # folding elides the f32->bf16->f32 roundtrip inside one jitted
-        # program, which silently turns ``lo`` into zero and degrades
-        # the pair to single-bf16 (~4e-3) — observed on the TPU
-        # backend 2026-08-21; the barrier forces the rounded hi to
-        # materialize before the subtraction
-        hi32 = jax.lax.optimization_barrier(hi).astype(jnp.float32)
-        lo = (B - hi32).astype(jnp.bfloat16)
-        return jnp.concatenate([hi, lo], axis=1)
+        # program, which silently turns the residual levels into zero
+        # and degrades the stack to single-bf16 (~4e-3) — observed on
+        # the TPU backend 2026-08-21; the barrier forces each rounded
+        # level to materialize before the subtraction
+        out = []
+        rem = B
+        for _ in range(nparts - 1):
+            p = rem.astype(jnp.bfloat16)
+            out.append(p)
+            rem = rem - jax.lax.optimization_barrier(p).astype(
+                jnp.float32)
+        out.append(rem.astype(jnp.bfloat16))
+        return jnp.concatenate(out, axis=1)
 
-    return conv(jnp.asarray(blocks, jnp.float32))
+    return conv(jnp.asarray(blocks, jnp.float32), parts)
 
 
-def _rect_mv_pair(blocks2, bases, w, nrows, ncl_pad, x, hi_only):
-    """:func:`_rect_mv` over a :func:`_pair_stack`-ed factor.
+def _rect_mv_pair(blocks2, bases, w, nrows, ncl_pad, x, hi_only, bs):
+    """:func:`_rect_mv` over a :func:`_pair_stack`-ed factor (2 or 3
+    bf16 levels, row-stacked).
 
-    ``hi_only``: stream just the bf16 hi rows (half the f32 bytes —
-    the predictor's form); otherwise one einsum over the full pair and
-    a row fold (f32-grade, for the refine application)."""
-    bs = blocks2.shape[1] // 2
+    ``hi_only``: stream just the bf16 hi rows (1/parts of the stored
+    bytes — the predictor's form); otherwise one einsum over the full
+    stack and a row fold (16/24-bit grade, for the refine
+    application)."""
+    nparts = blocks2.shape[1] // bs
     xpad = jnp.pad(x, (0, ncl_pad - x.shape[0]))
     xw = jnp.stack([jax.lax.slice(xpad, (b,), (b + w,)) for b in bases])
     if hi_only:
@@ -1076,7 +1090,7 @@ def _rect_mv_pair(blocks2, bases, w, nrows, ncl_pad, x, hi_only):
         return y.reshape(-1)[:nrows]
     y2 = jnp.einsum("kij,kj->ki", blocks2, xw, precision=_BAND_PREC,
                     preferred_element_type=jnp.float32)
-    y = y2[:, :bs] + y2[:, bs:]
+    y = sum(y2[:, p * bs:(p + 1) * bs] for p in range(nparts))
     return y.reshape(-1)[:nrows]
 
 
@@ -1628,26 +1642,36 @@ class SchurSaddleSolver:
         use_lb = (lb == "1" or (lb == "auto"
                                 and jax.default_backend() != "cpu"))
         if use_lb and banded and dtype == jnp.float32:
+            # measured per-factor refine floors at lvl2 with 16-bit
+            # pairs: W 6.9e-7, X 2.3e-7, S^-1 8.8e-7 — summing past
+            # 1e-6.  W and S^-1 therefore carry THREE bf16 levels
+            # (~f32-grade refine stream at 1.5x f32 bytes, predictor
+            # still hi-only); X's pair floor is already at the f32
+            # level, it stays 2-level.
             if self.Wb is not None and self.Wb.dtype == jnp.float32:
-                self.Wb = _pair_stack(self.Wb)
+                self.Wb = _pair_stack(self.Wb, parts=3)
             if self.Xb is not None and self.Xb.dtype == jnp.float32:
-                self.Xb = _pair_stack(self.Xb)
+                self.Xb = _pair_stack(self.Xb, parts=2)
             if (self.Sinv is not None
                     and self.Sinv.shape[0] == 2 * npp
                     and self.Sinv.dtype == jnp.float32):
 
                 @jax.jit
-                def _sinv_pair(S):
+                def _sinv_tri(S):
                     hi, lo = S[:npp], S[npp:]
                     s1 = hi.astype(jnp.bfloat16)
-                    # barrier: see _pair_stack — without it XLA folds
-                    # the bf16 roundtrip and s2 collapses to bf16(lo)
-                    s1_32 = jax.lax.optimization_barrier(
+                    # barriers: see _pair_stack — without them XLA
+                    # folds the bf16 roundtrips and the residual
+                    # levels collapse
+                    r1 = hi - jax.lax.optimization_barrier(
                         s1).astype(jnp.float32)
-                    s2 = ((hi - s1_32) + lo).astype(jnp.bfloat16)
-                    return jnp.concatenate([s1, s2], axis=0)
+                    s2 = (r1 + lo).astype(jnp.bfloat16)
+                    r2 = ((r1 - jax.lax.optimization_barrier(
+                        s2).astype(jnp.float32)) + lo)
+                    s3 = r2.astype(jnp.bfloat16)
+                    return jnp.concatenate([s1, s2, s3], axis=0)
 
-                self.Sinv = _sinv_pair(self.Sinv)
+                self.Sinv = _sinv_tri(self.Sinv)
 
         if full_map is not None:
             dinvf = np.zeros(self.nv)
@@ -1735,10 +1759,13 @@ class SchurSaddleSolver:
     def _sapply(self, g):
         # the double-f32 hi/lo pair rides ONE stacked matmul (adding a
         # second separate matvec to the scan body trips a ~15x axon
-        # scheduling cliff, like a second PCG loop does)
+        # scheduling cliff, like a second PCG loop does); under
+        # low-bit storage the stack is 3 bf16 levels (~f32 grade)
         q2 = self.Sinv @ g
-        if self.Sinv.shape[0] == 2 * self.np:
-            return q2[: self.np] + q2[self.np:]
+        nparts = self.Sinv.shape[0] // self.np
+        if nparts > 1:
+            return sum(q2[p * self.np:(p + 1) * self.np]
+                       for p in range(nparts))
         return q2
 
     def _xapply(self, q, hi_only=False):
@@ -1749,10 +1776,10 @@ class SchurSaddleSolver:
         static window slices + one batched matmul; under low-bit
         storage it is a bf16 hi/lo row-pair like W (see _wapply)."""
         if self.Xb is not None:
-            if self.Xb.shape[1] == 2 * self._bs:
+            if self.Xb.shape[1] > self._bs:
                 return _rect_mv_pair(self.Xb, self._xbases, self._wx,
                                      self._nin, self._ncolpad_x, q,
-                                     hi_only)
+                                     hi_only, self._bs)
             return _rect_mv(self.Xb, self._xbases, self._wx, self._nin,
                             self._ncolpad_x, q)
         parts = self.XT if isinstance(self.XT, tuple) else (self.XT,)
@@ -1787,10 +1814,10 @@ class SchurSaddleSolver:
         Under low-bit storage the factor is a bf16 hi/lo row-pair:
         ``hi_only`` streams half the bytes (predictor), the pair is
         f32-grade (refine)."""
-        if self.Wb.shape[1] == 2 * self._bs:
+        if self.Wb.shape[1] > self._bs:
             return _rect_mv_pair(self.Wb, self._wbases, self._ww,
                                  self._nin, self._ncolpad_w, bp,
-                                 hi_only)
+                                 hi_only, self._bs)
         return _rect_mv(self.Wb, self._wbases, self._ww, self._nin,
                         self._ncolpad_w, bp)
 

@@ -178,7 +178,7 @@ def test_lowbit_pair_storage(saddle, monkeypatch):
     monkeypatch.setenv("DNS_TPU_LOWBIT", "1")
     slv = SchurSaddleSolver(coeff=F, jmat=prob.Jc, jmatT=prob.JTc)
     assert slv.Wb.dtype == jnp.bfloat16
-    assert slv.Wb.shape[1] == 2 * slv._bs
+    assert slv.Wb.shape[1] == 3 * slv._bs   # W carries 3 bf16 levels
     bs = slv._bs
     lo_mag = float(jnp.abs(slv.Wb[:, bs:].astype(jnp.float32)).max())
     hi_mag = float(jnp.abs(slv.Wb[:, :bs].astype(jnp.float32)).max())
