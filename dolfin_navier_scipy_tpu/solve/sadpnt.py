@@ -1348,13 +1348,17 @@ class SchurSaddleSolver:
             else:
                 wmode = _os.environ.get("DNS_TPU_WINV", "auto")
             if wmode == "auto":
-                # measured crossover (docs/PERF_NOTES.md section 12):
-                # when the F band fits VMEM (~128 MB on v5e) the
-                # warm-started PCG re-reads it from cache and beats the
-                # W stream (lvl1: 1990 vs 1812 steps/s refined); once
-                # the band exceeds residency, every PCG iteration pays
-                # the full HBM read and W's single wide matvec wins
-                use_winv = nblk * bs * 3 * bs * 4 > 1.2e8
+                # the round-3 crossover (PCG wins below ~120 MB F band
+                # because the band stays VMEM-resident across
+                # iterations) was re-measured 2026-08-21 with the
+                # tri-level bf16 W: the hi-only predictor streams 1/6
+                # of the old f32 W bytes and W now wins at lvl1 too
+                # (2039 vs 1836 refined steps/s, rel 1.7e-7 vs 5.7e-8
+                # — both far under the refine floor).  Keep the PCG
+                # only for tiny problems where the build isn't worth
+                # its seconds.
+                use_winv = (nv > 5000
+                            or nblk * bs * 3 * bs * 4 > 1.2e8)
             else:
                 use_winv = wmode != "0"
             if use_winv and not (jax.default_backend() == "cpu"
@@ -1847,8 +1851,12 @@ class SchurSaddleSolver:
         # asymmetric low-bit schedule: the PREDICTOR streams the bf16
         # hi rows of W/X alone when a refine round follows (its ~4e-3
         # rounding is corrected like the window truncation); with NO
-        # refine the full pair keeps the one-shot solve at f32 grade
-        hi_only = refine > 0
+        # refine the full pair keeps the one-shot solve at f32 grade.
+        # W-LESS caveat (measured lvl1: refined trajectory 2.2e-6 vs
+        # 5.7e-8): the PCG refine only solves to ~2e-4, which cannot
+        # absorb a 4e-3-crude predictor — hi-only needs the W path's
+        # truncation-grade refine behind it
+        hi_only = refine > 0 and self.Wb is not None
         if self.Wb is not None:
             y = self._wapply(bvp, hi_only=hi_only)
         else:
