@@ -1105,8 +1105,7 @@ def main():
     _RESULTS["status"] = "level3_done"
     _emit()
 
-    for name, cap, att in (("level2", 440, 2), ("level3d", 480, 1),
-                           ("level3dbig", 560, 1)):
+    for name, cap, att in (("level2", 440, 2), ("level3d", 480, 1)):
         if _RESULTS.get("wedged"):
             cap, att = 130, 1    # one cheap look in case it recovered
         res = _measure(name, cap_s=cap, attempts=att)
@@ -1120,6 +1119,16 @@ def main():
         note_hang(res)
         _RESULTS["ensemble"] = res
         _RESULTS["status"] = "ensemble_done"
+        _emit()
+
+        # LAST on purpose: the >=100k 3D element-path setup ran past
+        # 33 min in a contended in-session smoke (device Schur X build
+        # at np=5950 over the 100k-dof 3D ELL operator) — it may well
+        # not fit; everything above is already emitted if it doesn't.
+        res = _measure("level3dbig", cap_s=560, attempts=1)
+        note_hang(res)
+        _RESULTS["level3dbig"] = res
+        _RESULTS["status"] = "level3dbig_done"
         _emit()
 
         # session-quality diagnostic: opt-in only (it costs ~3 min and
